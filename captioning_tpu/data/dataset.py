@@ -1,0 +1,426 @@
+"""COCO-talk dataset + async host input pipeline for TPU.
+
+Behavioural port of ``/root/reference/captioning/data/dataloader.py:85-424``
+redesigned for an XLA world:
+
+* Batches come out with **static shapes**: attention features are padded to
+  a *bucket* length (smallest configured bucket >= the batch max, else the
+  batch max rounded up to a multiple of 8) instead of the exact per-batch
+  max, so jit recompiles only once per bucket.
+* ``att_masks`` is always returned (all-ones when uniform) — masked
+  attention with an all-ones mask is mathematically the reference's
+  mask-free path, and a present mask keeps jit signatures stable.
+* The torch multi-worker loader + private-field prefetch compensation
+  (reference dataloader.py:355-368) is replaced by a thread-pool pipeline
+  that snapshots the resumable sampler state *into each batch*, so
+  ``DataLoader.state_dict()`` is exact by construction.
+
+Collation semantics preserved exactly: seq_per_img caption sampling with
+replacement (``get_captions``, reference :163-180), labels shaped
+[B, seq_per_img, L+2] with bos/eos zeros, masks counting tokens+2, raw
+``gts`` arrays for reward computation, restval->train split logic, box
+feature normalization + area sort, fc fallback to att mean.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import numpy.random as npr
+
+from .hybrid_loader import HybridLoader
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Dataset:
+    def get_vocab_size(self):
+        return self.vocab_size
+
+    def get_vocab(self):
+        return self.ix_to_word
+
+    def get_seq_length(self):
+        return self.seq_length
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.seq_per_img = opt.seq_per_img
+
+        self.use_fc = getattr(opt, 'use_fc', True)
+        self.use_att = getattr(opt, 'use_att', True)
+        self.use_box = getattr(opt, 'use_box', 0)
+        self.norm_att_feat = getattr(opt, 'norm_att_feat', 0)
+        self.norm_box_feat = getattr(opt, 'norm_box_feat', 0)
+
+        print('DataLoader loading json file: ', opt.input_json)
+        self.info = json.load(open(opt.input_json))
+        if 'ix_to_word' in self.info:
+            self.ix_to_word = self.info['ix_to_word']
+            self.vocab_size = len(self.ix_to_word)
+            print('vocab size is ', self.vocab_size)
+
+        print('DataLoader loading h5 file: ', opt.input_fc_dir,
+              opt.input_att_dir, opt.input_box_dir, opt.input_label_h5)
+        if opt.input_label_h5 != 'none':
+            import h5py
+            with h5py.File(opt.input_label_h5, 'r') as h5_label_file:
+                seq_size = h5_label_file['labels'].shape
+                self.label = h5_label_file['labels'][:]
+                self.seq_length = seq_size[1]
+                print('max sequence length in data is', self.seq_length)
+                self.label_start_ix = h5_label_file['label_start_ix'][:]
+                self.label_end_ix = h5_label_file['label_end_ix'][:]
+            self.has_labels = True
+        else:
+            self.seq_length = 1
+            self.has_labels = False
+
+        self.data_in_memory = getattr(opt, 'data_in_memory', False)
+        self.fc_loader = HybridLoader(opt.input_fc_dir, '.npy', in_memory=self.data_in_memory)
+        self.att_loader = HybridLoader(opt.input_att_dir, '.npz', in_memory=self.data_in_memory)
+        self.box_loader = HybridLoader(opt.input_box_dir, '.npy', in_memory=self.data_in_memory)
+
+        self.num_images = len(self.info['images'])
+        print('read %d image features' % self.num_images)
+
+        # split assignment incl. restval (reference :143-157)
+        self.split_ix = {'train': [], 'val': [], 'test': []}
+        for ix in range(len(self.info['images'])):
+            img = self.info['images'][ix]
+            if 'split' not in img:
+                self.split_ix['train'].append(ix)
+                self.split_ix['val'].append(ix)
+                self.split_ix['test'].append(ix)
+            elif img['split'] == 'train':
+                self.split_ix['train'].append(ix)
+            elif img['split'] == 'val':
+                self.split_ix['val'].append(ix)
+            elif img['split'] == 'test':
+                self.split_ix['test'].append(ix)
+            elif opt.train_only == 0:  # restval
+                self.split_ix['train'].append(ix)
+
+        print('assigned %d images to split train' % len(self.split_ix['train']))
+        print('assigned %d images to split val' % len(self.split_ix['val']))
+        print('assigned %d images to split test' % len(self.split_ix['test']))
+
+        # static-shape buckets for att length
+        sizes = getattr(opt, 'att_bucket_sizes', '') or ''
+        if isinstance(sizes, str):
+            self.att_buckets = sorted(int(s) for s in sizes.split(',') if s.strip())
+        else:
+            self.att_buckets = sorted(int(s) for s in sizes)
+
+    def get_captions(self, ix, seq_per_img):
+        """Sample seq_per_img captions (reference :163-180)."""
+        ix1 = self.label_start_ix[ix] - 1  # label_start_ix is 1-indexed
+        ix2 = self.label_end_ix[ix] - 1
+        ncap = ix2 - ix1 + 1
+        assert ncap > 0, 'an image does not have any label.'
+
+        if ncap < seq_per_img:
+            seq = np.zeros([seq_per_img, self.seq_length], dtype='int')
+            for q in range(seq_per_img):
+                ixl = random.randint(ix1, ix2)
+                seq[q, :] = self.label[ixl, :self.seq_length]
+        else:
+            ixl = random.randint(ix1, ix2 - seq_per_img + 1)
+            seq = self.label[ixl: ixl + seq_per_img, :self.seq_length]
+        return seq
+
+    def _bucket_len(self, max_len: int) -> int:
+        for b in self.att_buckets:
+            if b >= max_len:
+                return b
+        return _round_up(max(max_len, 1), 8)
+
+    def get_item(self, index):
+        """Load one sample (reference __getitem__ :262-299)."""
+        ix, it_pos_now, wrapped = index
+        if self.use_att:
+            att_feat = self.att_loader.get(str(self.info['images'][ix]['id']))
+            att_feat = att_feat.reshape(-1, att_feat.shape[-1])
+            if self.norm_att_feat:
+                att_feat = att_feat / np.linalg.norm(att_feat, 2, 1, keepdims=True)
+            if self.use_box:
+                box_feat = self.box_loader.get(str(self.info['images'][ix]['id']))
+                x1, y1, x2, y2 = np.hsplit(box_feat, 4)
+                h, w = self.info['images'][ix]['height'], self.info['images'][ix]['width']
+                box_feat = np.hstack((x1 / w, y1 / h, x2 / w, y2 / h,
+                                      (x2 - x1) * (y2 - y1) / (w * h)))
+                if self.norm_box_feat:
+                    box_feat = box_feat / np.linalg.norm(box_feat, 2, 1, keepdims=True)
+                att_feat = np.hstack([att_feat, box_feat])
+                att_feat = np.stack(sorted(att_feat, key=lambda x: x[-1], reverse=True))
+        else:
+            att_feat = np.zeros((0, 0), dtype='float32')
+        if self.use_fc:
+            try:
+                fc_feat = self.fc_loader.get(str(self.info['images'][ix]['id']))
+            except Exception:
+                # average of attention when no fc provided (bottom-up feats)
+                fc_feat = att_feat.mean(0)
+        else:
+            fc_feat = np.zeros((0,), dtype='float32')
+        seq = self.get_captions(ix, self.seq_per_img) if self.has_labels else None
+        return (fc_feat, att_feat, seq, ix, it_pos_now, wrapped)
+
+    def collate(self, batch: List[Any], split: str) -> Dict[str, Any]:
+        """Assemble a static-shape batch (reference collate_func :182-260)."""
+        seq_per_img = self.seq_per_img
+        fc_batch, att_batch, label_batch, gts, infos = [], [], [], [], []
+        wrapped = False
+        it_pos_now = 0
+
+        for sample in batch:
+            tmp_fc, tmp_att, tmp_seq, ix, it_pos_now, tmp_wrapped = sample
+            if tmp_wrapped:
+                wrapped = True
+            fc_batch.append(tmp_fc)
+            att_batch.append(tmp_att)
+
+            tmp_label = np.zeros([seq_per_img, self.seq_length + 2], dtype='int')
+            if self.has_labels:
+                tmp_label[:, 1:self.seq_length + 1] = tmp_seq
+            label_batch.append(tmp_label)
+
+            if self.has_labels:
+                gts.append(self.label[self.label_start_ix[ix] - 1: self.label_end_ix[ix]])
+            else:
+                gts.append([])
+
+            infos.append({
+                'ix': ix,
+                'id': self.info['images'][ix]['id'],
+                'file_path': self.info['images'][ix].get('file_path', ''),
+            })
+
+        data: Dict[str, Any] = {}
+        data['fc_feats'] = np.stack(fc_batch).astype('float32')
+
+        max_att_len = max(_.shape[0] for _ in att_batch)
+        pad_len = self._bucket_len(max_att_len) if self.use_att else max(max_att_len, 1)
+        feat_dim = att_batch[0].shape[1] if att_batch[0].ndim == 2 and att_batch[0].shape[1] else 1
+        data['att_feats'] = np.zeros([len(att_batch), pad_len, feat_dim], dtype='float32')
+        data['att_masks'] = np.zeros([len(att_batch), pad_len], dtype='float32')
+        for i, att in enumerate(att_batch):
+            if att.size:
+                data['att_feats'][i, :att.shape[0]] = att
+            data['att_masks'][i, :att.shape[0]] = 1
+
+        data['labels'] = np.vstack(label_batch)
+        nonzeros = np.array(list(map(lambda x: (x != 0).sum() + 2, data['labels'])))
+        mask_batch = np.zeros([data['labels'].shape[0], self.seq_length + 2], dtype='float32')
+        for i, row in enumerate(mask_batch):
+            row[:nonzeros[i]] = 1
+        data['masks'] = mask_batch
+        data['labels'] = data['labels'].reshape(len(batch), seq_per_img, -1)
+        data['masks'] = data['masks'].reshape(len(batch), seq_per_img, -1)
+
+        data['gts'] = gts
+        data['bounds'] = {'it_pos_now': it_pos_now,
+                          'it_max': len(self.split_ix[split]),
+                          'wrapped': wrapped}
+        data['infos'] = infos
+        return data
+
+    def __len__(self):
+        return len(self.info['images'])
+
+
+class MySampler:
+    """Resumable index sampler (reference dataloader.py:371-423)."""
+
+    def __init__(self, index_list, shuffle, wrap):
+        self.index_list = index_list
+        self.shuffle = shuffle
+        self.wrap = wrap
+        self._reset_iter()
+
+    def next(self):
+        wrapped = False
+        if self.iter_counter == len(self._index_list):
+            self._reset_iter()
+            if self.wrap:
+                wrapped = True
+            else:
+                raise StopIteration()
+        if len(self._index_list) == 0:
+            return None
+        elem = (self._index_list[self.iter_counter], self.iter_counter + 1, wrapped)
+        self.iter_counter += 1
+        return elem
+
+    def _reset_iter(self):
+        if self.shuffle:
+            rand_perm = npr.permutation(len(self.index_list))
+            self._index_list = [self.index_list[_] for _ in rand_perm]
+        else:
+            self._index_list = self.index_list
+        self.iter_counter = 0
+
+    def __len__(self):
+        return len(self.index_list)
+
+    def load_state_dict(self, state_dict=None):
+        if state_dict is None:
+            return
+        self._index_list = state_dict['index_list']
+        self.iter_counter = state_dict['iter_counter']
+
+    def state_dict(self):
+        return {'index_list': list(self._index_list),
+                'iter_counter': self.iter_counter}
+
+
+class _SplitPipeline:
+    """Background batch producer for one split.
+
+    A single producer thread draws indices from the sampler (keeping order),
+    fans item loading across a shared thread pool, collates, snapshots the
+    sampler state into the batch, and enqueues.  Exactness of resume comes
+    from consuming ``_sampler_state`` of the *last consumed* batch.
+    """
+
+    def __init__(self, dataset: Dataset, sampler: MySampler, split: str,
+                 batch_size: int, pool: ThreadPoolExecutor, depth: int = 4):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.split = split
+        self.batch_size = batch_size
+        self.pool = pool
+        self.depth = depth
+        self._queue: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._epoch_end = object()
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+        self._start_thread()
+
+    def _start_thread(self):
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _produce(self):
+        while not self._stop.is_set():
+            indices = []
+            hit_end = False
+            for _ in range(self.batch_size):
+                try:
+                    indices.append(self.sampler.next())
+                except StopIteration:
+                    hit_end = True
+                    break
+            if indices:
+                items = list(self.pool.map(self.dataset.get_item, indices))
+                batch = self.dataset.collate(items, self.split)
+                batch['_sampler_state'] = self.sampler.state_dict()
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+            if hit_end:
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(self._epoch_end, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if not self.sampler.wrap:
+                    return  # thread restarts on reset
+
+    def get_batch(self):
+        while True:
+            item = self._queue.get()
+            if item is self._epoch_end:
+                if self._thread is not None and not self._thread.is_alive():
+                    self._start_thread()
+                continue
+            return item
+
+    def reset(self, sampler_state=None):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        # drain queue
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        if sampler_state is not None:
+            self.sampler.load_state_dict(sampler_state)
+        else:
+            self.sampler._reset_iter()
+        self._start_thread()
+
+
+class DataLoader:
+    """Split-keyed loader facade (reference dataloader.py:304-368)."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.batch_size = opt.batch_size
+        self.dataset = Dataset(opt)
+        n_threads = int(getattr(opt, 'num_data_threads', 4) or 4)
+        depth = int(getattr(opt, 'num_prefetch', 4) or 4)
+        self._pool = ThreadPoolExecutor(max_workers=n_threads)
+
+        self.pipelines: Dict[str, _SplitPipeline] = {}
+        self._last_state: Dict[str, Dict] = {}
+        for split in ['train', 'val', 'test']:
+            sampler = MySampler(self.dataset.split_ix[split],
+                                shuffle=(split == 'train'),
+                                wrap=(split == 'train'))
+            self.pipelines[split] = _SplitPipeline(
+                self.dataset, sampler, split, self.batch_size, self._pool, depth)
+            self._last_state[split] = sampler.state_dict()
+
+    def get_batch(self, split):
+        batch = self.pipelines[split].get_batch()
+        self._last_state[split] = batch.pop('_sampler_state')
+        return batch
+
+    def reset_iterator(self, split):
+        self.pipelines[split].reset()
+        self._last_state[split] = self.pipelines[split].sampler.state_dict()
+
+    def get_vocab_size(self):
+        return self.dataset.get_vocab_size()
+
+    @property
+    def vocab_size(self):
+        return self.get_vocab_size()
+
+    def get_vocab(self):
+        return self.dataset.get_vocab()
+
+    def get_seq_length(self):
+        return self.dataset.get_seq_length()
+
+    @property
+    def seq_length(self):
+        return self.get_seq_length()
+
+    def state_dict(self):
+        return {split: dict(self._last_state[split]) for split in self.pipelines}
+
+    def load_state_dict(self, state_dict=None):
+        if state_dict is None:
+            return
+        for split in self.pipelines:
+            if split in state_dict and state_dict[split] is not None:
+                self.pipelines[split].reset(state_dict[split])
+                self._last_state[split] = dict(state_dict[split])

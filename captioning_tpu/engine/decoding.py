@@ -1,0 +1,650 @@
+"""Batched on-device decoding: greedy/sample, beam search, diverse sampling.
+
+TPU-native redesign of the reference decoding engine
+(``/root/reference/captioning/models/CaptionModel.py:35-407`` and
+``AttModel._sample/_sample_beam/_diverse_sample`` at
+``/root/reference/captioning/models/AttModel.py:218-449``).
+
+Key translations (SURVEY.md section 7):
+
+* python per-token loops -> single ``lax.scan`` over fixed ``seq_length``
+  steps; early-exit bookkeeping becomes masking (finished rows emit pad and
+  zeroed logprobs, bit-identical to the reference's break-early zeros).
+* ``done_beams`` python lists -> a fixed-shape top-``bdash`` pool per
+  (batch, group), maintained by a masked top-k merge each step; since the
+  final answer is the top-``bdash`` finished beams by penalized logprob,
+  the pool is an exact replacement.
+* beam state reordering (reference ``beam_step`` gathers,
+  CaptionModel.py:87-109) -> one ``take`` over every state leaf.
+* host-side constraint hacks (trigram dicts, bad-ending numpy isin,
+  AttModel.py:294-332) -> vectorized scatter masks on device.
+* diverse-beam groups staggered in time run *batched in one model call*
+  per global step: group g at global step t consumes tokens produced by
+  groups < g at strictly earlier global steps, so there is no intra-step
+  dependency.
+
+All functions are pure and jit-able; the model is abstracted as a
+``DecodeModel`` bundle of closures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e30  # "never selected" sentinel (finite to keep arithmetic NaN-free)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeModel:
+    """Pure-function view of a captioner, bound to params."""
+    prepare: Callable  # (fc, att, att_masks, rng) -> feats pytree
+    init_state: Callable  # (batch,) -> state pytree
+    step: Callable  # (it, feats, state, rng, logsoftmax) -> (logprobs, state)
+    seq_length: int
+    vocab_plus: int  # V + 1
+    bos_idx: int = 0
+    eos_idx: int = 0
+    pad_idx: int = 0
+    unk_idx: Optional[int] = None
+    bad_endings_ix: Tuple[int, ...] = ()
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def repeat_tree(n: int, tree):
+    """Bx... -> Bnx... with the repeat index fastest (models/utils.py:3-14)."""
+    if n == 1:
+        return tree
+
+    def rep(x):
+        if x is None:
+            return None
+        x = jnp.repeat(x[:, None], n, axis=1)
+        return x.reshape((x.shape[0] * n,) + x.shape[2:])
+
+    return jax.tree.map(rep, tree)
+
+
+def gather_tree(tree, idx):
+    """Reorder every leaf's leading dim by idx."""
+    return jax.tree.map(lambda x: None if x is None else jnp.take(x, idx, axis=0),
+                        tree)
+
+
+def _where_tree(mask_flat, new_tree, old_tree):
+    """Per-row select between two same-shaped pytrees."""
+    def sel(new, old):
+        if new is None:
+            return None
+        m = mask_flat.reshape((-1,) + (1,) * (new.ndim - 1))
+        return jnp.where(m, new, old)
+    return jax.tree.map(sel, new_tree, old_tree)
+
+
+def penalty_fn(length_penalty: str):
+    """jnp version of misc.penalty_builder (reference misc.py:133-157)."""
+    if not length_penalty:
+        return lambda length, logprobs: logprobs
+    pen_type, alpha = length_penalty.split('_')
+    alpha = float(alpha)
+    if pen_type == 'wu':
+        def wu(length, logprobs):
+            mod = ((5.0 + length) ** alpha) / ((5.0 + 1.0) ** alpha)
+            return logprobs / mod
+        return wu
+    if pen_type == 'avg':
+        return lambda length, logprobs: logprobs / jnp.maximum(length, 1)
+    raise ValueError('unknown length_penalty %s' % length_penalty)
+
+
+def sample_next_word(rng, logprobs, sample_method: str, temperature: float):
+    """reference CaptionModel.sample_next_word (:370-407)."""
+    if sample_method == 'greedy':
+        it = jnp.argmax(logprobs, axis=1)
+        sample_lp = jnp.max(logprobs, axis=1)
+        return it, sample_lp
+    if sample_method == 'gumbel':
+        eps = 1e-20
+        u = jax.random.uniform(rng, logprobs.shape)
+        g = -jnp.log(-jnp.log(u + eps) + eps)
+        y = jax.nn.log_softmax((logprobs + g) / temperature, axis=-1)
+        it = jnp.argmax(y, axis=1)
+        sample_lp = jnp.take_along_axis(logprobs, it[:, None], axis=1)[:, 0]
+        return it, sample_lp
+
+    lp = logprobs / temperature
+    if sample_method.startswith('top'):
+        top_num = float(sample_method[3:])
+        if 0 < top_num < 1:
+            # nucleus sampling (reference :390-398)
+            probs = jax.nn.softmax(lp, axis=1)
+            order = jnp.argsort(-probs, axis=1, stable=True)
+            sorted_probs = jnp.take_along_axis(probs, order, axis=1)
+            csum = jnp.cumsum(sorted_probs, axis=1)
+            mask = csum < top_num
+            mask = jnp.concatenate(
+                [jnp.ones_like(mask[:, :1]), mask[:, :-1]], axis=1)
+            kept = sorted_probs * mask
+            kept = kept / kept.sum(1, keepdims=True)
+            # scatter back to vocab order (inverse permutation of `order`)
+            lp = jnp.take_along_axis(
+                jnp.log(jnp.maximum(kept, 1e-38)),
+                jnp.argsort(order, axis=1), axis=1)
+        else:
+            k = int(top_num)
+            kth = jnp.sort(lp, axis=1)[:, -k][:, None]
+            lp = jnp.where(lp >= kth, lp, NEG)
+    it = jax.random.categorical(rng, lp, axis=1)
+    sample_lp = jnp.take_along_axis(lp, it[:, None], axis=1)[:, 0]
+    return it, sample_lp
+
+
+def _bad_endings_mask(prev_it, bad_ix: Sequence[int], vocab_plus: int):
+    """-inf at index 0 where the previous word is a function word
+    (reference AttModel.py:299-304)."""
+    if not bad_ix:
+        return None
+    bad = jnp.zeros((vocab_plus,), bool).at[jnp.asarray(bad_ix)].set(True)
+    return bad[prev_it]  # [B] bool
+
+
+def _apply_step_constraints(logprobs, prev_it, t, dm: DecodeModel,
+                            decoding_constraint: int, remove_bad_endings: int,
+                            suppress_unk: bool = False):
+    """decoding_constraint / bad endings / UNK suppression as masks."""
+    if decoding_constraint:
+        pen = jnp.where(t > 0, -jnp.inf, 0.0)
+        logprobs = logprobs.at[
+            jnp.arange(logprobs.shape[0]), prev_it].add(pen)
+    if remove_bad_endings and dm.bad_endings_ix:
+        was_bad = _bad_endings_mask(prev_it, dm.bad_endings_ix, dm.vocab_plus)
+        pen = jnp.where((t > 0) & was_bad, -jnp.inf, 0.0)
+        logprobs = logprobs.at[:, 0].add(pen)
+    if suppress_unk and dm.unk_idx is not None:
+        logprobs = logprobs.at[:, dm.unk_idx].add(-1000.0)
+    return logprobs
+
+
+def _trigram_penalty(logprobs, seq_buf, t):
+    """Device-side trigram blocking (reference AttModel.py:306-332).
+
+    seq_buf: [B, L] tokens so far (cols >= t are zero).  At step t >= 3 the
+    reference has recorded trigrams ending at positions 2..t-1 and blocks
+    any w completing (seq[t-2], seq[t-1], w); the mask counts duplicates,
+    matching the dict-of-lists accumulation.
+    """
+    B, L = seq_buf.shape
+    pos = jnp.arange(L)
+    # match_s: trigram at position s (s>=2, s<=t-1) has same two-token prefix
+    prefix1 = jnp.take_along_axis(
+        seq_buf, jnp.maximum(pos - 2, 0)[None].repeat(B, 0), axis=1)
+    prefix2 = jnp.take_along_axis(
+        seq_buf, jnp.maximum(pos - 1, 0)[None].repeat(B, 0), axis=1)
+    t_arr = jnp.full((B, 1), t, jnp.int32)
+    cur1 = jnp.take_along_axis(seq_buf, jnp.maximum(t_arr - 2, 0), axis=1)
+    cur2 = jnp.take_along_axis(seq_buf, jnp.maximum(t_arr - 1, 0), axis=1)
+    valid = (pos >= 2) & (pos <= t - 1)
+    match = (prefix1 == cur1) & (prefix2 == cur2) & valid[None]
+    counts = jnp.zeros_like(logprobs)
+    counts = counts.at[jnp.arange(B)[:, None], seq_buf].add(
+        match.astype(logprobs.dtype))
+    alpha = 2.0
+    return jnp.where(t >= 3, counts * (-0.693 * alpha), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# sample (greedy / temperature / top-k / top-p / gumbel)
+# ---------------------------------------------------------------------------
+
+def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
+           opt: Dict[str, Any]):
+    """reference AttModel._sample (:258-352).
+
+    Returns (seq [B*n, L] int32, seqLogprobs [B*n, L, V+1] f32).
+    """
+    sample_method = opt.get('sample_method', 'greedy')
+    beam_size = int(opt.get('beam_size', 1))
+    temperature = float(opt.get('temperature', 1.0))
+    sample_n = int(opt.get('sample_n', 1))
+    group_size = int(opt.get('group_size', 1))
+    output_logsoftmax = int(opt.get('output_logsoftmax', 1))
+    decoding_constraint = int(opt.get('decoding_constraint', 0))
+    block_trigrams = int(opt.get('block_trigrams', 0))
+    remove_bad_endings = int(opt.get('remove_bad_endings', 0))
+    if beam_size > 1 and sample_method in ('greedy', 'beam_search'):
+        return sample_beam(dm, fc_feats, att_feats, att_masks, rng, opt)[:2]
+    if group_size > 1:
+        return diverse_sample(dm, fc_feats, att_feats, att_masks, rng, opt)
+
+    B = fc_feats.shape[0]
+    L = dm.seq_length
+    V1 = dm.vocab_plus
+    rng, prep_rng = jax.random.split(rng)
+    feats = dm.prepare(fc_feats, att_feats, att_masks, prep_rng)
+    feats = repeat_tree(sample_n, feats)
+    N = B * sample_n
+    state0 = dm.init_state(N)
+
+    step_rngs = jax.random.split(rng, L * 2).reshape(L, 2, -1)
+
+    def body(carry, xs):
+        it_prev, state, unfinished, seq_buf, t = carry
+        rngs = xs
+        logprobs, state = dm.step(it_prev, feats, state, rngs[0],
+                                  bool(output_logsoftmax))
+        # it_prev == seq[:, t-1] for t >= 1; constraints are gated on t > 0
+        logprobs = _apply_step_constraints(
+            logprobs, it_prev, t, dm, decoding_constraint, remove_bad_endings)
+        if block_trigrams:
+            logprobs = logprobs + _trigram_penalty(logprobs, seq_buf, t)
+        it, _ = sample_next_word(rngs[1], logprobs, sample_method, temperature)
+        # finished bookkeeping (reference :340-347)
+        first = (t == 0)
+        it = jnp.where(first | unfinished, it, dm.pad_idx)
+        logprobs_out = jnp.where(first | unfinished[:, None], logprobs, 0.0)
+        unfinished = jnp.where(first, it != dm.eos_idx,
+                               unfinished & (it != dm.eos_idx))
+        seq_buf = seq_buf.at[:, t].set(it)
+        return (it, state, unfinished, seq_buf, t + 1), (it, logprobs_out)
+
+    it0 = jnp.full((N,), dm.bos_idx, jnp.int32)
+    unfin0 = jnp.ones((N,), bool)
+    seq_buf0 = jnp.zeros((N, L), jnp.int32)
+    (_, _, _, seq_buf, _), (seq_steps, lp_steps) = jax.lax.scan(
+        body, (it0, state0, unfin0, seq_buf0, jnp.int32(0)), step_rngs)
+    seq = jnp.swapaxes(seq_steps, 0, 1)
+    seqLogprobs = jnp.swapaxes(lp_steps, 0, 1)
+    return seq, seqLogprobs
+
+
+def scan_logprobs(dm: DecodeModel, fc_feats, att_feats, att_masks, gen_seq,
+                  rng, sample_n: int = 1, output_logsoftmax: int = 1):
+    """Recompute per-step logprobs over an already-sampled sequence.
+
+    Mirrors ``sample()``'s rng derivation exactly (same prepare rng, same
+    per-step model rng), so under dropout the recomputed activations are
+    bit-identical to the sampling pass — gradients through this scan equal
+    gradients through the sampling forward itself, which is what the
+    reference backprops (loss_wrapper.py:64-72).
+    """
+    B = fc_feats.shape[0]
+    L = dm.seq_length
+    rng, prep_rng = jax.random.split(rng)
+    feats = dm.prepare(fc_feats, att_feats, att_masks, prep_rng)
+    feats = repeat_tree(sample_n, feats)
+    N = B * sample_n
+    state0 = dm.init_state(N)
+    step_rngs = jax.random.split(rng, L * 2).reshape(L, 2, -1)
+
+    inputs = jnp.concatenate(
+        [jnp.full((N, 1), dm.bos_idx, jnp.int32), gen_seq[:, :-1]], axis=1)
+
+    def body(carry, xs):
+        state, t = carry
+        it, rngs = xs
+        logprobs, state = dm.step(it, feats, state, rngs[0],
+                                  bool(output_logsoftmax))
+        return (state, t + 1), logprobs
+
+    (_, _), outputs = jax.lax.scan(
+        body, (state0, jnp.int32(0)),
+        (inputs.T.astype(jnp.int32), step_rngs))
+    lp = jnp.swapaxes(outputs, 0, 1)
+    # zero rows after finish, matching sample()'s stored logprobs: step t is
+    # kept iff no token before t was eos/pad (pads only follow an eos).
+    keep = jnp.concatenate(
+        [jnp.ones((N, 1), bool), (gen_seq[:, :-1] != dm.pad_idx) &
+         (gen_seq[:, :-1] != dm.eos_idx)], axis=1)
+    keep = jnp.cumprod(keep.astype(jnp.int32), axis=1).astype(bool)
+    return jnp.where(keep[..., None], lp, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# beam search (batched, diverse groups, fixed shapes)
+# ---------------------------------------------------------------------------
+
+def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
+                rng, opt: Dict[str, Any]):
+    """Batched (diverse) beam search (reference CaptionModel.py:35-209).
+
+    init_logprobs: [B, V+1] from the bos step (un-repeated batch).
+    init_state:    state pytree with batch B.
+    feats_per_beam: feats pytree repeated to B*G*bdash rows.
+
+    Returns dict with pool_seq [B, G, bdash, L], pool_logps
+    [B, G, bdash, L, V+1], pool_p [B, G, bdash] (sorted desc per group) and
+    pool_unaug_p.
+    """
+    temperature = float(opt.get('temperature', 1.0))
+    beam_size = int(opt.get('beam_size', 10))
+    group_size = int(opt.get('group_size', 1))
+    diversity_lambda = float(opt.get('diversity_lambda', 0.5))
+    decoding_constraint = int(opt.get('decoding_constraint', 0))
+    remove_bad_endings = int(opt.get('remove_bad_endings', 0))
+    suppress_unk = int(opt.get('suppress_UNK', 0))
+    length_penalty = penalty_fn(opt.get('length_penalty', ''))
+    bdash = beam_size // group_size
+    G = group_size
+    B = init_logprobs.shape[0]
+    L = dm.seq_length
+    V1 = dm.vocab_plus
+    NBG = B * G * bdash
+
+    # replicate bos-step state/logprobs to every (group, beam) lane
+    state = repeat_tree(G * bdash, init_state)
+    logprobs_table = jnp.broadcast_to(
+        init_logprobs[:, None, None, :], (B, G, bdash, V1))
+
+    beam_seq = jnp.zeros((B, G, bdash, L), jnp.int32)
+    beam_seq_logprobs = jnp.zeros((B, G, bdash, L, V1), jnp.float32)
+    beam_logprobs_sum = jnp.zeros((B, G, bdash), jnp.float32)
+
+    pool_seq = jnp.zeros((B, G, bdash, L), jnp.int32)
+    pool_logps = jnp.zeros((B, G, bdash, L, V1), jnp.float32)
+    pool_p = jnp.full((B, G, bdash), NEG, jnp.float32)
+    pool_unaug = jnp.full((B, G, bdash), NEG, jnp.float32)
+
+    T_total = L + G - 1
+    step_rngs = jax.random.split(rng, T_total)
+    group_ids = jnp.arange(G)
+
+    def body(carry, xs):
+        (state, logprobs_table, beam_seq, beam_seq_logprobs,
+         beam_logprobs_sum, pool_seq, pool_logps, pool_p, pool_unaug, t) = carry
+        step_rng = xs
+
+        local_t = t - group_ids                     # [G]
+        active = (local_t >= 0) & (local_t <= L - 1)  # [G]
+        lt = jnp.maximum(local_t, 0)                # safe local index
+
+        lp = logprobs_table.reshape(NBG, V1)
+
+        # ---- constraints (CaptionModel.py:154-162) ----
+        prev_idx = _expand_group(jnp.maximum(lt - 1, 0), B, bdash)  # [NBG]
+        prev_tok = jnp.take_along_axis(
+            beam_seq.reshape(NBG, L), prev_idx[:, None], axis=1)[:, 0]
+        has_prev = _expand_group(local_t, B, bdash) > 0
+        if decoding_constraint:
+            lp = lp.at[jnp.arange(NBG), prev_tok].add(
+                jnp.where(has_prev, -jnp.inf, 0.0))
+        if remove_bad_endings and dm.bad_endings_ix:
+            was_bad = _bad_endings_mask(prev_tok, dm.bad_endings_ix, V1)
+            lp = lp.at[:, 0].add(jnp.where(has_prev & was_bad, -jnp.inf, 0.0))
+        if suppress_unk and dm.unk_idx is not None:
+            lp = lp.at[:, dm.unk_idx].add(-1000.0)
+
+        # ---- diversity penalty (CaptionModel.py:38-55) ----
+        unaug_lp = lp.reshape(B, G, bdash, V1)
+        if G > 1:
+            # For target group gt, count tokens chosen by earlier groups
+            # gs < gt at *gt's* local time lt[gt] (their column lt[gt] was
+            # written at global step lt[gt]+gs < t, so it's available).
+            idx = jnp.broadcast_to(lt[None, :, None, None, None],
+                                   (B, G, G, bdash, 1))
+            toks = jnp.take_along_axis(
+                jnp.broadcast_to(beam_seq[:, None], (B, G, G, bdash, L)),
+                idx, axis=4)[..., 0]                # [B, Gt, Gs, bdash]
+            onehot = jax.nn.one_hot(toks, V1, dtype=jnp.float32)
+            src_before = (jnp.arange(G)[:, None] > jnp.arange(G)[None, :])
+            change = (onehot * src_before[None, :, :, None, None]
+                      ).sum(axis=(2, 3))            # [B, Gt, V1]
+            lp = (unaug_lp - diversity_lambda * change[:, :, None, :]
+                  ).reshape(NBG, V1)
+        else:
+            lp = unaug_lp.reshape(NBG, V1)
+
+        # ---- beam_step (CaptionModel.py:60-110) ----
+        lp4 = lp.reshape(B, G, bdash, V1)
+        first_mask = jnp.where(
+            (local_t == 0)[None, :, None] & (jnp.arange(bdash) > 0)[None, None, :],
+            NEG, 0.0)
+        sums_for_step = beam_logprobs_sum + first_mask
+        candidates = sums_for_step[..., None] + lp4
+        flat = candidates.reshape(B, G, bdash * V1)
+        ys, ix = jax.lax.top_k(flat, bdash)         # [B, G, bdash]
+        beam_ix = ix // V1
+        sel_ix = ix % V1
+
+        def gb(x):  # gather beams along dim 2 by beam_ix
+            bi = beam_ix.reshape(beam_ix.shape + (1,) * (x.ndim - 3))
+            return jnp.take_along_axis(x, jnp.broadcast_to(
+                bi, beam_ix.shape + x.shape[3:]), axis=2)
+
+        new_beam_seq = gb(beam_seq)
+        lt_col = lt[None, :, None, None].repeat(B, 0).repeat(bdash, 2)
+        new_beam_seq = _set_at_time(new_beam_seq, lt_col, sel_ix)
+        new_beam_seq_logprobs = gb(beam_seq_logprobs)
+        unaug_sel = gb(unaug_lp)                    # [B, G, bdash, V1]
+        new_beam_seq_logprobs = _set_at_time_vec(
+            new_beam_seq_logprobs, lt_col, unaug_sel)
+        new_sums = ys
+
+        # state reorder: flat row = (b*G + g)*bdash + beam
+        base = (jnp.arange(B)[:, None, None] * G + jnp.arange(G)[None, :, None]
+                ) * bdash
+        state_ix = (base + beam_ix).reshape(-1)
+        new_state = gather_tree(state, state_ix)
+
+        # ---- finished-beam pool merge (CaptionModel.py:182-198) ----
+        just_ended = (sel_ix == dm.eos_idx) | (local_t == L - 1)[None, :, None]
+        cand_len = (lt + 1).astype(jnp.float32)[None, :, None]
+        cand_p = length_penalty(cand_len, new_sums)
+        cand_p = jnp.where(just_ended, cand_p, NEG)
+        cand_unaug = new_beam_seq_logprobs.sum((-1, -2))
+
+        merged_p = jnp.concatenate([pool_p, cand_p], axis=2)
+        merged_unaug = jnp.concatenate([pool_unaug, cand_unaug], axis=2)
+        merged_seq = jnp.concatenate([pool_seq, new_beam_seq], axis=2)
+        merged_logps = jnp.concatenate([pool_logps, new_beam_seq_logprobs],
+                                       axis=2)
+        top_p, top_i = jax.lax.top_k(merged_p, bdash)
+        new_pool_p = top_p
+        new_pool_unaug = jnp.take_along_axis(merged_unaug, top_i, axis=2)
+        new_pool_seq = jnp.take_along_axis(
+            merged_seq, top_i[..., None].repeat(L, 3), axis=2)
+        new_pool_logps = jnp.take_along_axis(
+            merged_logps, top_i[..., None, None], axis=2)
+
+        new_sums = new_sums - 1000.0 * just_ended
+
+        # ---- model step (CaptionModel.py:202-204) ----
+        it = sel_ix.reshape(NBG).astype(jnp.int32)
+        step_lp, stepped_state = dm.step(it, feats_per_beam, new_state,
+                                         step_rng, True)
+        step_lp = jax.nn.log_softmax(step_lp / temperature, axis=-1)
+        new_logprobs_table = step_lp.reshape(B, G, bdash, V1)
+
+        # ---- freeze inactive groups ----
+        act_g = active[None, :, None]
+        act_rows = _expand_group(active, B, bdash)
+        beam_seq = jnp.where(act_g[..., None], new_beam_seq, beam_seq)
+        beam_seq_logprobs = jnp.where(act_g[..., None, None],
+                                      new_beam_seq_logprobs, beam_seq_logprobs)
+        beam_logprobs_sum = jnp.where(act_g, new_sums, beam_logprobs_sum)
+        logprobs_table = jnp.where(act_g[..., None], new_logprobs_table,
+                                   logprobs_table)
+        pool_seq = jnp.where(act_g[..., None], new_pool_seq, pool_seq)
+        pool_logps = jnp.where(act_g[..., None, None], new_pool_logps,
+                               pool_logps)
+        pool_p = jnp.where(act_g, new_pool_p, pool_p)
+        pool_unaug = jnp.where(act_g, new_pool_unaug, pool_unaug)
+        state = _where_tree(act_rows, stepped_state, state)
+        # keep state reorder for active groups only: rows of inactive groups
+        # were gathered with beam_ix==identity at local_t==0 masking;
+        # _where_tree above already restored frozen rows via old state.
+
+        return (state, logprobs_table, beam_seq, beam_seq_logprobs,
+                beam_logprobs_sum, pool_seq, pool_logps, pool_p, pool_unaug,
+                t + 1), None
+
+    carry0 = (state, logprobs_table, beam_seq, beam_seq_logprobs,
+              beam_logprobs_sum, pool_seq, pool_logps, pool_p, pool_unaug,
+              jnp.int32(0))
+    carry, _ = jax.lax.scan(body, carry0, step_rngs)
+    (_, _, _, _, _, pool_seq, pool_logps, pool_p, pool_unaug, _) = carry
+    return {'seq': pool_seq, 'logps': pool_logps, 'p': pool_p,
+            'unaug_p': pool_unaug}
+
+
+def _expand_group(vec_g, B, bdash):
+    """[G] -> [B*G*bdash] by broadcasting over batch and beams."""
+    G = vec_g.shape[0]
+    return jnp.broadcast_to(vec_g[None, :, None], (B, G, bdash)).reshape(-1)
+
+
+def _set_at_time(x, t_col, val):
+    """x: [B,G,bdash,L]; write val [B,G,bdash] at per-(g) column t_col."""
+    L = x.shape[-1]
+    onehot = jax.nn.one_hot(t_col[..., 0], L, dtype=bool)
+    return jnp.where(onehot, val[..., None], x)
+
+
+def _set_at_time_vec(x, t_col, val):
+    """x: [B,G,bdash,L,V]; write val [B,G,bdash,V] at column t_col."""
+    L = x.shape[-2]
+    onehot = jax.nn.one_hot(t_col[..., 0], L, dtype=bool)
+    return jnp.where(onehot[..., None], val[..., None, :], x)
+
+
+def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
+                opt: Dict[str, Any]):
+    """reference AttModel._sample_beam (:218-256).
+
+    Returns (seq [B*sample_n, L], seqLogprobs [B*sample_n, L, V+1],
+    done_beams dict from beam_search).
+    """
+    beam_size = int(opt.get('beam_size', 10))
+    group_size = int(opt.get('group_size', 1))
+    sample_n = int(opt.get('sample_n', 1))
+    bdash = beam_size // group_size
+    assert sample_n == 1 or sample_n == bdash, \
+        'when beam search, sample_n == 1 or beam search'
+    B = fc_feats.shape[0]
+    L = dm.seq_length
+
+    rng, prep_rng, bos_rng, bs_rng = jax.random.split(rng, 4)
+    feats = dm.prepare(fc_feats, att_feats, att_masks, prep_rng)
+    state = dm.init_state(B)
+    it = jnp.full((B,), dm.bos_idx, jnp.int32)
+    init_logprobs, state = dm.step(it, feats, state, bos_rng, True)
+    feats_per_beam = repeat_tree(beam_size, feats)
+    done = beam_search(dm, init_logprobs, state, feats_per_beam, bs_rng, opt)
+
+    if sample_n == 1:
+        seq = done['seq'][:, 0, 0]                       # best of group 0
+        logps = done['logps'][:, 0, 0]
+    else:
+        # group 0's bdash beams (reference :246-250 takes done_beams[k][:n])
+        seq = done['seq'][:, 0].reshape(B * sample_n, L)
+        logps = done['logps'][:, 0].reshape(B * sample_n, L, dm.vocab_plus)
+    return seq, logps, done
+
+
+# ---------------------------------------------------------------------------
+# diverse sampling (group-staggered sampling, not beam)
+# ---------------------------------------------------------------------------
+
+def diverse_sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
+                   opt: Dict[str, Any]):
+    """reference AttModel._diverse_sample (:354-449).
+
+    Returns (seq [B*G, L], sampleLogprobs [B*G, L]).  Groups are folded
+    into the batch; the diversity penalty replicates the reference's
+    column-indexing semantics: every token chosen by *any* batch row of an
+    earlier group at the same local time is penalized once for all rows.
+    """
+    sample_method = opt.get('sample_method', 'greedy')
+    temperature = float(opt.get('temperature', 1.0))
+    group_size = int(opt.get('group_size', 1))
+    diversity_lambda = float(opt.get('diversity_lambda', 0.5))
+    decoding_constraint = int(opt.get('decoding_constraint', 0))
+    remove_bad_endings = int(opt.get('remove_bad_endings', 0))
+
+    B = fc_feats.shape[0]
+    G = group_size
+    L = dm.seq_length
+    V1 = dm.vocab_plus
+
+    rng, prep_rng = jax.random.split(rng)
+    feats = dm.prepare(fc_feats, att_feats, att_masks, prep_rng)
+    # lane layout [B, G] flattened (repeat index fastest = group)
+    feats_g = repeat_tree(G, feats)
+    state = dm.init_state(B * G)
+
+    seq_tbl = jnp.zeros((B, G, L), jnp.int32)
+    lp_tbl = jnp.zeros((B, G, L), jnp.float32)
+    it_tbl = jnp.full((B, G), dm.bos_idx, jnp.int32)
+
+    T_total = L + G
+    step_rngs = jax.random.split(rng, T_total * 2).reshape(T_total, 2, -1)
+    group_ids = jnp.arange(G)
+
+    def body(carry, xs):
+        state, seq_tbl, lp_tbl, it_tbl, t = carry
+        rngs = xs
+        local_t = t - group_ids                  # [G]
+        active = (local_t >= 0) & (local_t <= L - 1)
+        lt = jnp.maximum(local_t, 0)
+
+        it_in = it_tbl.reshape(B * G)
+        logprobs, new_state = dm.step(it_in, feats_g, state, rngs[0], True)
+        logprobs = jax.nn.log_softmax(logprobs / temperature, axis=-1)
+        lp4 = logprobs.reshape(B, G, V1)
+
+        # diversity: tokens of earlier groups gs < gt at *gt's* local time,
+        # pooled over the batch (the reference's column advanced-indexing
+        # penalizes every row for any batch item's choice, AttModel.py:396)
+        idx = jnp.broadcast_to(lt[None, :, None, None], (B, G, G, 1))
+        toks = jnp.take_along_axis(
+            jnp.broadcast_to(seq_tbl[:, None], (B, G, G, L)),
+            idx, axis=3)[..., 0]                          # [B, Gt, Gs]
+        chosen = jax.nn.one_hot(toks, V1, dtype=bool).any(0)   # [Gt, Gs, V1]
+        src_before = (jnp.arange(G)[:, None] > jnp.arange(G)[None, :])
+        prev_chosen = (chosen & src_before[..., None]).any(1)  # [Gt, V1]
+        lp4 = lp4 - diversity_lambda * prev_chosen[None].astype(jnp.float32)
+
+        lp = lp4.reshape(B * G, V1)
+        prev_tok = jnp.take_along_axis(
+            seq_tbl, jnp.maximum(lt - 1, 0)[None, :, None].repeat(B, 0),
+            axis=2)[..., 0].reshape(B * G)
+        has_prev = jnp.broadcast_to((local_t > 0)[None], (B, G)).reshape(-1)
+        if decoding_constraint:
+            lp = lp.at[jnp.arange(B * G), prev_tok].add(
+                jnp.where(has_prev, -jnp.inf, 0.0))
+        if remove_bad_endings and dm.bad_endings_ix:
+            was_bad = _bad_endings_mask(prev_tok, dm.bad_endings_ix, V1)
+            lp = lp.at[:, 0].add(jnp.where(has_prev & was_bad, -jnp.inf, 0.0))
+
+        it, sample_lp = sample_next_word(rngs[1], lp, sample_method, 1)
+        it = it.reshape(B, G)
+        sample_lp = sample_lp.reshape(B, G)
+
+        # unfinished recomputed from the sequence (reference :440-445)
+        first = (local_t == 0)[None]
+        prev_tok2 = prev_tok.reshape(B, G)
+        unfinished = (prev_tok2 != dm.pad_idx) & (prev_tok2 != dm.eos_idx)
+        it = jnp.where(first | unfinished, it, dm.pad_idx)
+
+        lt_col = lt[None, :, None].repeat(B, 0)
+        onehot = jax.nn.one_hot(lt_col[..., 0], L, dtype=bool)
+        new_seq_tbl = jnp.where(onehot, it[..., None], seq_tbl)
+        new_lp_tbl = jnp.where(onehot, sample_lp[..., None], lp_tbl)
+
+        act = active[None, :]
+        seq_tbl = jnp.where(act[..., None], new_seq_tbl, seq_tbl)
+        lp_tbl = jnp.where(act[..., None], new_lp_tbl, lp_tbl)
+        it_tbl = jnp.where(act, it, it_tbl)
+        act_rows = jnp.broadcast_to(act, (B, G)).reshape(-1)
+        state = _where_tree(act_rows, new_state, state)
+        return (state, seq_tbl, lp_tbl, it_tbl, t + 1), None
+
+    carry0 = (state, seq_tbl, lp_tbl, it_tbl, jnp.int32(0))
+    (_, seq_tbl, lp_tbl, _, _), _ = jax.lax.scan(body, carry0, step_rngs)
+    return seq_tbl.reshape(B * G, L), lp_tbl.reshape(B * G, L)

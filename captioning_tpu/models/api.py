@@ -1,0 +1,212 @@
+"""Captioner: binds a flax module + params into the engine protocol.
+
+The factory (``models.setup``) returns a Captioner wrapping one of the
+model modules; ``bind()`` produces the pure ``DecodeModel`` closure bundle
+the decoding engine scans over, and ``forward_tf`` is the teacher-forced
+training forward (reference ``AttModel._forward``, AttModel.py:126-164 /
+``TransformerModel._forward``, TransformerModel.py:340-348).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.decoding import DecodeModel, repeat_tree
+from .harness import AttCaptioner, BAD_ENDINGS, ModelConfig, config_from_opt
+from .transformer import TransformerCaptioner
+
+
+def _vocab_indices(vocab: Optional[Dict[str, str]], vocab_size: int):
+    """bad-ending ids (AttModel.py:96-97) and UNK id (CaptionModel.py:159)."""
+    if vocab is None:
+        return (), None
+    bad_ix = tuple(int(k) for k, v in vocab.items() if v in BAD_ENDINGS)
+    unk_idx = vocab_size if vocab.get(str(vocab_size)) == 'UNK' else None
+    return bad_ix, unk_idx
+
+
+class Captioner:
+    """A model family instance: module + static metadata (not params)."""
+
+    def __init__(self, cfg: ModelConfig, vocab: Optional[Dict[str, str]] = None):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.bad_endings_ix, self.unk_idx = _vocab_indices(vocab, cfg.vocab_size)
+        if cfg.caption_model == 'transformer':
+            self.module = TransformerCaptioner(cfg)
+        else:
+            self.module = AttCaptioner(cfg)
+        self.is_transformer = cfg.caption_model == 'transformer'
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # -- params ------------------------------------------------------------
+    def init_params(self, rng, att_len: int = 4):
+        cfg = self.cfg
+        fc = jnp.zeros((1, max(cfg.fc_feat_size, 1)), jnp.float32)
+        att = jnp.zeros((1, att_len, max(cfg.att_feat_size, 1)), jnp.float32)
+        att_masks = jnp.ones((1, att_len), jnp.float32)
+        it = jnp.zeros((1,), jnp.int32)
+        variables = self.module.init(
+            {'params': rng, 'dropout': rng}, fc, att, att_masks, it)
+        if self.is_transformer:
+            # TF path shares all step-path params; nothing extra to init.
+            pass
+        return variables
+
+    # -- engine protocol ------------------------------------------------------
+    def bind(self, variables, train: bool = False) -> DecodeModel:
+        module = self.module
+        cfg = self.cfg
+
+        def _rngs(rng):
+            return {'dropout': rng} if (train and rng is not None) else None
+
+        def prepare(fc, att, att_masks, rng):
+            out = module.apply(variables, fc, att, att_masks, train,
+                               method=type(module).prepare_feature,
+                               rngs=_rngs(rng),
+                               mutable=['batch_stats'] if train else False)
+            return out[0] if train else out
+
+        def init_state(batch):
+            return module.init_state(batch)
+
+        def step(it, feats, state, rng, logsoftmax=True):
+            out = module.apply(variables, it, feats, state, train, logsoftmax,
+                               method=type(module).step, rngs=_rngs(rng),
+                               mutable=['batch_stats'] if train else False)
+            return out[0] if train else out
+
+        return DecodeModel(
+            prepare=prepare, init_state=init_state, step=step,
+            seq_length=cfg.seq_length, vocab_plus=cfg.vocab_size + 1,
+            bos_idx=cfg.bos_idx, eos_idx=cfg.eos_idx, pad_idx=cfg.pad_idx,
+            unk_idx=self.unk_idx, bad_endings_ix=self.bad_endings_ix)
+
+    # -- teacher forcing -------------------------------------------------------
+    def forward_tf(self, variables, fc_feats, att_feats, seq, att_masks,
+                   ss_prob: float = 0.0, rng=None, train: bool = False):
+        """Teacher-forced logprobs [N, T, V+1] over seq (input tokens).
+
+        ``seq`` is labels[..., :-1] per the reference call
+        (loss_wrapper.py:55).  Scheduled sampling follows
+        AttModel.py:145-154: from step 1 on, each row independently feeds
+        the model a sample from its previous output with prob ss_prob.
+        """
+        if seq.ndim == 3:
+            seq = seq.reshape(-1, seq.shape[2])
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        if self.is_transformer:
+            out = self.module.apply(
+                variables, fc_feats, att_feats, seq, att_masks, train,
+                method=TransformerCaptioner.forward_tf,
+                rngs={'dropout': rng} if train else None,
+                mutable=['batch_stats'] if train else False)
+            return out[0] if train else out
+
+        cfg = self.cfg
+        B = fc_feats.shape[0]
+        N, T = seq.shape
+        seq_per_img = N // B
+        rng, prep_rng = jax.random.split(rng)
+        dm = self.bind(variables, train)
+        feats = dm.prepare(fc_feats, att_feats, att_masks, prep_rng)
+        feats = repeat_tree(seq_per_img, feats)
+        state0 = dm.init_state(N)
+
+        # ss_prob may be a traced scalar (it changes on an epoch schedule,
+        # train.py:144-147); keep one compiled graph by always building the
+        # scheduled-sampling branch under train.
+        use_ss = train
+        step_rngs = jax.random.split(rng, T * 3).reshape(T, 3, -1)
+
+        def body(carry, xs):
+            state, prev_logprobs, t = carry
+            it_gt, rngs = xs
+            if use_ss:
+                coin = jax.random.uniform(rngs[0], (N,)) < ss_prob
+                sampled = jax.random.categorical(rngs[1], prev_logprobs, axis=1)
+                it = jnp.where((t >= 1) & coin, sampled, it_gt)
+            else:
+                it = it_gt
+            logprobs, state = dm.step(it, feats, state, rngs[2], True)
+            return (state, logprobs, t + 1), logprobs
+
+        zeros_lp = jnp.zeros((N, cfg.vocab_size + 1), jnp.float32)
+        (_, _, _), outputs = jax.lax.scan(
+            body, (state0, zeros_lp, jnp.int32(0)),
+            (seq.T.astype(jnp.int32), step_rngs))
+        return jnp.swapaxes(outputs, 0, 1)
+
+
+    # -- jitted entry points -------------------------------------------------
+    def _freeze_opt(self, opt: Dict[str, Any]):
+        return tuple(sorted((k, v) for k, v in opt.items()
+                            if not isinstance(v, (dict, list))))
+
+    def sample_jit(self, variables, fc_feats, att_feats, att_masks, rng,
+                   opt: Dict[str, Any], train: bool = False):
+        """Jit-compiled sample(); one compilation per (opt, train, shapes)."""
+        from ..engine import decoding
+        key = ('sample', self._freeze_opt(opt), train)
+        if key not in self._jit_cache:
+            opt_c = dict(opt)
+
+            def fn(variables, fc, att, am, rng):
+                dm = self.bind(variables, train)
+                return decoding.sample(dm, fc, att, am, rng, opt_c)
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](variables, fc_feats, att_feats,
+                                    att_masks, rng)
+
+    def sample_beam_jit(self, variables, fc_feats, att_feats, att_masks, rng,
+                        opt: Dict[str, Any], train: bool = False):
+        """Jit-compiled sample_beam(); returns (seq, logps, done_beams)."""
+        from ..engine import decoding
+        key = ('beam', self._freeze_opt(opt), train)
+        if key not in self._jit_cache:
+            opt_c = dict(opt)
+
+            def fn(variables, fc, att, am, rng):
+                dm = self.bind(variables, train)
+                return decoding.sample_beam(dm, fc, att, am, rng, opt_c)
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](variables, fc_feats, att_feats,
+                                    att_masks, rng)
+
+    def forward_tf_jit(self, variables, fc_feats, att_feats, seq, att_masks,
+                       ss_prob=0.0, rng=None, train: bool = False):
+        key = ('tf', train)
+        if key not in self._jit_cache:
+            def fn(variables, fc, att, seq, am, ss_prob, rng):
+                return self.forward_tf(variables, fc, att, seq, am,
+                                       ss_prob, rng, train)
+            self._jit_cache[key] = jax.jit(fn)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        return self._jit_cache[key](variables, fc_feats, att_feats, seq,
+                                    att_masks, jnp.float32(ss_prob), rng)
+
+
+def setup(opt, vocab: Optional[Dict[str, str]] = None) -> Captioner:
+    """Model factory (reference models/__init__.py:20-73)."""
+    supported = ('fc', 'language_model', 'newfc', 'show_tell', 'att2in',
+                 'att2in2', 'att2all2', 'adaatt', 'adaattmo', 'topdown',
+                 'updown', 'stackatt', 'denseatt', 'transformer', 'aoa')
+    if opt.caption_model not in supported:
+        raise Exception("Caption model not supported: {}".format(
+            opt.caption_model))
+    cfg = config_from_opt(opt, opt.vocab_size)
+    if opt.caption_model in ('fc', 'show_tell'):
+        from .legacy import LegacyCaptioner
+        return LegacyCaptioner(cfg, vocab)
+    if opt.caption_model == 'aoa':
+        from .aoa import AoACaptioner
+        return AoACaptioner(cfg, vocab)
+    return Captioner(cfg, vocab)

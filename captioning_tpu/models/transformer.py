@@ -1,0 +1,338 @@
+"""Transformer captioner with KV-cached single-step decode.
+
+TPU-native rebuild of the reference annotated-transformer captioner
+(``/root/reference/captioning/models/TransformerModel.py:237-363``) merged
+with the KV-cache decode semantics of
+(``/root/reference/captioning/models/cachedTransformer.py:127-242``) — the
+cached step is mathematically identical to full-prefix re-decode at eval,
+so it is the only decode path here (the fast variant made default).
+
+Faithful details:
+* pre-LN sublayers with the reference's LayerNorm flavour: normalization by
+  the *unbiased* std (torch ``x.std(-1)`` divides by n-1) with eps added to
+  the std, not the variance (TransformerModel.py:76-87).
+* src_embed is identity — the encoder input is the att_embed output
+  (TransformerModel.py:250).
+* Embeddings scaled by sqrt(d_model) + sinusoidal PE (:208-235).
+* xavier-uniform init for every weight with dim > 1 (:254-258).
+* teacher-forcing seq_mask: (seq != eos) & (seq != pad), position 0 forced
+  on, ANDed with the causal mask (:321-328).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .harness import ModelConfig
+from .layers import Dense, MaskedBatchNorm, MLPEmbed
+
+_NEG_INF = -1e9
+
+
+def _xavier_dense(features, dtype, name=None):
+    return Dense(features, dtype=dtype, name=name,
+                 kernel_init=nn.initializers.xavier_uniform())
+
+
+class RefLayerNorm(nn.Module):
+    """Torch-flavoured LayerNorm (unbiased std + eps on std)."""
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        a_2 = self.param('a_2', nn.initializers.ones, (c,))
+        b_2 = self.param('b_2', nn.initializers.zeros, (c,))
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(-1, keepdims=True)
+        var = x32.var(-1, keepdims=True) * (c / max(c - 1, 1))  # unbiased
+        std = jnp.sqrt(var)
+        y = a_2 * (x32 - mean) / (std + self.eps) + b_2
+        return y.astype(x.dtype)
+
+
+class MHAProj(nn.Module):
+    """The 4 projection matrices of one MultiHeadedAttention block."""
+    d_model: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.wq = _xavier_dense(self.d_model, self.dtype)
+        self.wk = _xavier_dense(self.d_model, self.dtype)
+        self.wv = _xavier_dense(self.d_model, self.dtype)
+        self.wo = _xavier_dense(self.d_model, self.dtype)
+
+
+def _split_heads(x, h):
+    # [..., T, D] -> [..., h, T, dk]
+    *lead, T, D = x.shape
+    x = x.reshape(*lead, T, h, D // h)
+    return jnp.swapaxes(x, -2, -3)
+
+
+def _merge_heads(x):
+    # [..., h, T, dk] -> [..., T, D]
+    x = jnp.swapaxes(x, -2, -3)
+    *lead, T, h, dk = x.shape
+    return x.reshape(*lead, T, h * dk)
+
+
+def _attend(q, k, v, mask, dropout_fn):
+    """Scaled dot product attention (reference TransformerModel.py:152-162).
+
+    q: [..., h, Tq, dk]; k/v: [..., h, Tk, dk]; mask broadcastable to
+    [..., 1, Tq, Tk] (1 = attend).
+    """
+    dk = q.shape[-1]
+    scores = jnp.einsum('...qd,...kd->...qk', q, k) / jnp.sqrt(
+        jnp.asarray(dk, q.dtype))
+    if mask is not None:
+        scores = jnp.where(mask == 0, _NEG_INF, scores)
+    p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    p = dropout_fn(p)
+    return jnp.einsum('...qk,...kd->...qd', p, v)
+
+
+class FFN(nn.Module):
+    d_model: int
+    d_ff: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.w_1 = _xavier_dense(self.d_ff, self.dtype)
+        self.w_2 = _xavier_dense(self.d_model, self.dtype)
+
+
+class TransformerCaptioner(nn.Module):
+    """Encoder-decoder captioner exposing the engine step protocol."""
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        D = cfg.d_model
+        self.att_bn_in = MaskedBatchNorm() if cfg.use_bn else None
+        self.att_embed = MLPEmbed(D, cfg.drop_prob_lm, cfg.dtype)
+        self.att_bn_out = MaskedBatchNorm() if cfg.use_bn == 2 else None
+
+        self.enc_self = tuple(MHAProj(D, cfg.dtype) for _ in range(cfg.N_enc))
+        self.enc_ffn = tuple(FFN(D, cfg.d_ff, cfg.dtype) for _ in range(cfg.N_enc))
+        self.enc_norm1 = tuple(RefLayerNorm() for _ in range(cfg.N_enc))
+        self.enc_norm2 = tuple(RefLayerNorm() for _ in range(cfg.N_enc))
+        self.enc_final_norm = RefLayerNorm()
+
+        self.dec_self = tuple(MHAProj(D, cfg.dtype) for _ in range(cfg.N_dec))
+        self.dec_src = tuple(MHAProj(D, cfg.dtype) for _ in range(cfg.N_dec))
+        self.dec_ffn = tuple(FFN(D, cfg.d_ff, cfg.dtype) for _ in range(cfg.N_dec))
+        self.dec_norm1 = tuple(RefLayerNorm() for _ in range(cfg.N_dec))
+        self.dec_norm2 = tuple(RefLayerNorm() for _ in range(cfg.N_dec))
+        self.dec_norm3 = tuple(RefLayerNorm() for _ in range(cfg.N_dec))
+        self.dec_final_norm = RefLayerNorm()
+
+        self.tgt_embed = self.param(
+            'tgt_embed', nn.initializers.xavier_uniform(),
+            (cfg.vocab_size + 1, D))
+        self.generator = _xavier_dense(cfg.vocab_size + 1, cfg.dtype)
+
+        # sinusoidal PE table (reference :219-231)
+        max_len = max(cfg.seq_length + 4, 64)
+        pe = np.zeros((max_len, D), np.float32)
+        position = np.arange(0, max_len)[:, None].astype(np.float32)
+        div_term = np.exp(np.arange(0, D, 2).astype(np.float32) *
+                          -(np.log(10000.0) / D))
+        pe[:, 0::2] = np.sin(position * div_term)
+        pe[:, 1::2] = np.cos(position * div_term)
+        self.pe = jnp.asarray(pe)
+
+    # -- helpers -----------------------------------------------------------
+    def _dropout(self, x, rate, train: bool):
+        if not train or rate == 0.0:
+            return x
+        rng = self.make_rng('dropout')
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+    def _attn_dropout(self, train: bool):
+        return lambda p: self._dropout(p, self.cfg.dropout, train)
+
+    def _ffn_apply(self, ffn: FFN, x, train: bool):
+        return ffn.w_2(self._dropout(nn.relu(ffn.w_1(x)), self.cfg.dropout,
+                                     train))
+
+    def _embed_tokens(self, ids, t0, train: bool):
+        """Embeddings * sqrt(d) + PE (positions t0..t0+T) + dropout
+        (reference :208-235)."""
+        cfg = self.cfg
+        x = jnp.take(self.tgt_embed.astype(cfg.dtype), ids, axis=0)
+        x = x * jnp.sqrt(jnp.asarray(cfg.d_model, cfg.dtype))
+        pe = jax.lax.dynamic_slice_in_dim(self.pe, t0, x.shape[-2])
+        x = x + pe[None].astype(cfg.dtype)
+        return self._dropout(x, cfg.dropout, train)
+
+    # -- encoder -------------------------------------------------------------
+    def encode(self, att_feats, att_masks, train: bool = False):
+        cfg = self.cfg
+        h = cfg.num_att_heads
+        x = att_feats
+        if self.att_bn_in is not None:
+            x = self.att_bn_in(x, att_masks, train)
+        x = self.att_embed(x, train)
+        if self.att_bn_out is not None:
+            x = self.att_bn_out(x, att_masks, train)
+        # src mask [B, 1, 1, M]
+        mask = None
+        if att_masks is not None:
+            mask = att_masks[:, None, None, :]
+        for i in range(cfg.N_enc):
+            proj = self.enc_self[i]
+            y = self.enc_norm1[i](x)
+            q, k, v = (_split_heads(proj.wq(y), h), _split_heads(proj.wk(y), h),
+                       _split_heads(proj.wv(y), h))
+            y = proj.wo(_merge_heads(_attend(q, k, v, mask,
+                                             self._attn_dropout(train))))
+            x = x + self._dropout(y, cfg.dropout, train)
+            y = self._ffn_apply(self.enc_ffn[i], self.enc_norm2[i](x), train)
+            x = x + self._dropout(y, cfg.dropout, train)
+        return self.enc_final_norm(x)
+
+    # -- engine protocol -----------------------------------------------------
+    def prepare_feature(self, fc_feats, att_feats, att_masks,
+                        train: bool = False):
+        memory = self.encode(att_feats, att_masks, train)
+        cfg = self.cfg
+        h = cfg.num_att_heads
+        # Precompute per-layer cross-attention K/V (cachedTransformer.py:201-242)
+        mem_k, mem_v = [], []
+        for i in range(cfg.N_dec):
+            proj = self.dec_src[i]
+            mem_k.append(_split_heads(proj.wk(memory), h))
+            mem_v.append(_split_heads(proj.wv(memory), h))
+        return {'memory': memory,
+                'mem_k': jnp.stack(mem_k, 1),   # [B, N_dec, h, M, dk]
+                'mem_v': jnp.stack(mem_v, 1),
+                'att_masks': att_masks}
+
+    def init_state(self, batch_size: int):
+        cfg = self.cfg
+        T = cfg.seq_length + 1  # bos + seq_length steps
+        h = cfg.num_att_heads
+        dk = cfg.d_model // h
+        return {
+            't': jnp.zeros((batch_size,), jnp.int32),
+            'k': jnp.zeros((batch_size, cfg.N_dec, h, T, dk), cfg.dtype),
+            'v': jnp.zeros((batch_size, cfg.N_dec, h, T, dk), cfg.dtype),
+        }
+
+    def step(self, it, feats, state, train: bool = False,
+             logsoftmax: bool = True):
+        """Single cached decoder step (cachedTransformer.py:398-420)."""
+        cfg = self.cfg
+        h = cfg.num_att_heads
+        t = state['t'][0]  # uniform across batch within a scan step
+        T = state['k'].shape[-2]
+        x = self._embed_tokens(it[:, None], t, train)
+
+        new_k, new_v = state['k'], state['v']
+        # positions 0..t are valid after this step's write
+        pos_ids = jnp.arange(T)
+        self_mask = (pos_ids <= t)[None, None, None, :]  # [1,1,1,T]
+        src_mask = None
+        if feats['att_masks'] is not None:
+            src_mask = feats['att_masks'][:, None, None, :]
+
+        for i in range(cfg.N_dec):
+            proj = self.dec_self[i]
+            y = self.dec_norm1[i](x)
+            q = _split_heads(proj.wq(y), h)           # [B, h, 1, dk]
+            k_new = _split_heads(proj.wk(y), h)       # [B, h, 1, dk]
+            v_new = _split_heads(proj.wv(y), h)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                new_k[:, i], k_new, t, axis=-2)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                new_v[:, i], v_new, t, axis=-2)
+            new_k = new_k.at[:, i].set(k_cache)
+            new_v = new_v.at[:, i].set(v_cache)
+            y = proj.wo(_merge_heads(_attend(q, k_cache, v_cache, self_mask,
+                                             self._attn_dropout(train))))
+            x = x + self._dropout(y, cfg.dropout, train)
+
+            sproj = self.dec_src[i]
+            y = self.dec_norm2[i](x)
+            q2 = _split_heads(sproj.wq(y), h)
+            y = sproj.wo(_merge_heads(_attend(q2, feats['mem_k'][:, i],
+                                              feats['mem_v'][:, i], src_mask,
+                                              self._attn_dropout(train))))
+            x = x + self._dropout(y, cfg.dropout, train)
+
+            y = self._ffn_apply(self.dec_ffn[i], self.dec_norm3[i](x), train)
+            x = x + self._dropout(y, cfg.dropout, train)
+
+        x = self.dec_final_norm(x)[:, 0]
+        logits = self.generator(x).astype(jnp.float32)
+        state = dict(state, t=state['t'] + 1, k=new_k, v=new_v)
+        if logsoftmax:
+            return jax.nn.log_softmax(logits, axis=-1), state
+        return logits, state
+
+    # -- teacher forcing (parallel over time) --------------------------------
+    def forward_tf(self, fc_feats, att_feats, seq, att_masks,
+                   train: bool = False):
+        """reference TransformerModel._forward (:340-348) with the
+        _prepare_feature_forward seq_mask semantics (:312-338)."""
+        cfg = self.cfg
+        h = cfg.num_att_heads
+        if seq.ndim == 3:
+            seq = seq.reshape(-1, seq.shape[2])
+        memory = self.encode(att_feats, att_masks, train)
+        seq_per_img = seq.shape[0] // memory.shape[0]
+        if seq_per_img > 1:
+            memory = jnp.repeat(memory, seq_per_img, axis=0)
+            if att_masks is not None:
+                att_masks = jnp.repeat(att_masks, seq_per_img, axis=0)
+
+        T = seq.shape[1]
+        seq_mask = (seq != cfg.eos_idx) & (seq != cfg.pad_idx)
+        seq_mask = seq_mask.at[:, 0].set(True)
+        causal = jnp.tril(jnp.ones((T, T), bool))
+        tgt_mask = (seq_mask[:, None, None, :] & causal[None, None])  # [B,1,T,T]
+        src_mask = None
+        if att_masks is not None:
+            src_mask = att_masks[:, None, None, :]
+
+        x = self._embed_tokens(seq, 0, train)
+        for i in range(cfg.N_dec):
+            proj = self.dec_self[i]
+            y = self.dec_norm1[i](x)
+            q, k, v = (_split_heads(proj.wq(y), h), _split_heads(proj.wk(y), h),
+                       _split_heads(proj.wv(y), h))
+            y = proj.wo(_merge_heads(_attend(q, k, v, tgt_mask,
+                                             self._attn_dropout(train))))
+            x = x + self._dropout(y, cfg.dropout, train)
+
+            sproj = self.dec_src[i]
+            y = self.dec_norm2[i](x)
+            q2 = _split_heads(sproj.wq(y), h)
+            mk = _split_heads(sproj.wk(memory), h)
+            mv = _split_heads(sproj.wv(memory), h)
+            y = sproj.wo(_merge_heads(_attend(q2, mk, mv, src_mask,
+                                              self._attn_dropout(train))))
+            x = x + self._dropout(y, cfg.dropout, train)
+
+            y = self._ffn_apply(self.dec_ffn[i], self.dec_norm3[i](x), train)
+            x = x + self._dropout(y, cfg.dropout, train)
+        x = self.dec_final_norm(x)
+        logits = self.generator(x).astype(jnp.float32)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+    def __call__(self, fc_feats, att_feats, att_masks, it):
+        """Init-only entry: touches every parameter once."""
+        feats = self.prepare_feature(fc_feats, att_feats, att_masks, False)
+        state = self.init_state(att_feats.shape[0])
+        logprobs, _ = self.step(it, feats, state, False)
+        # also touch TF path params (same weights; no new params created)
+        return logprobs
