@@ -353,132 +353,141 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
 
     T_total = L + G - 1
     step_rngs = jax.random.split(rng, T_total)
-    group_ids = jnp.arange(G)
 
     def body(carry, xs):
         (state, logprobs_table, beam_seq, beam_seq_logprobs,
          beam_logprobs_sum, pool_seq, pool_logps, pool_p, pool_unaug, t) = carry
         step_rng = xs
 
-        local_t = t - group_ids                     # [G]
-        active = (local_t >= 0) & (local_t <= L - 1)  # [G]
-        lt = jnp.maximum(local_t, 0)                # safe local index
+        # Groups are processed SEQUENTIALLY for the table math: the
+        # reference's inner divm loop (CaptionModel.py:149-204) lets group g
+        # read earlier groups' beam tables *after* their same-step reorder.
+        # Only the model step is batched across groups (its inputs are the
+        # end-of-step tokens, which have no intra-step dependency).
+        cur_seq = [beam_seq[:, g] for g in range(G)]
+        cur_logps = [beam_seq_logprobs[:, g] for g in range(G)]
+        cur_sums = [beam_logprobs_sum[:, g] for g in range(G)]
+        cur_pseq = [pool_seq[:, g] for g in range(G)]
+        cur_plogps = [pool_logps[:, g] for g in range(G)]
+        cur_pp = [pool_p[:, g] for g in range(G)]
+        cur_pu = [pool_unaug[:, g] for g in range(G)]
+        sel_list, beamix_list, active_list = [], [], []
 
-        lp = logprobs_table.reshape(NBG, V1)
+        beam_rng = jnp.arange(bdash)
 
-        # ---- constraints (CaptionModel.py:154-162) ----
-        prev_idx = _expand_group(jnp.maximum(lt - 1, 0), B, bdash)  # [NBG]
-        prev_tok = jnp.take_along_axis(
-            beam_seq.reshape(NBG, L), prev_idx[:, None], axis=1)[:, 0]
-        has_prev = _expand_group(local_t, B, bdash) > 0
-        if decoding_constraint:
-            lp = lp.at[jnp.arange(NBG), prev_tok].add(
-                jnp.where(has_prev, -jnp.inf, 0.0))
-        if remove_bad_endings and dm.bad_endings_ix:
-            was_bad = _bad_endings_mask(prev_tok, dm.bad_endings_ix, V1)
-            lp = lp.at[:, 0].add(jnp.where(has_prev & was_bad, -jnp.inf, 0.0))
-        if suppress_unk and dm.unk_idx is not None:
-            lp = lp.at[:, dm.unk_idx].add(-1000.0)
+        for g in range(G):
+            local_t = t - g
+            active = (local_t >= 0) & (local_t <= L - 1)
+            lt = jnp.maximum(local_t, 0)
 
-        # ---- diversity penalty (CaptionModel.py:38-55) ----
-        unaug_lp = lp.reshape(B, G, bdash, V1)
-        if G > 1:
-            # For target group gt, count tokens chosen by earlier groups
-            # gs < gt at *gt's* local time lt[gt] (their column lt[gt] was
-            # written at global step lt[gt]+gs < t, so it's available).
-            idx = jnp.broadcast_to(lt[None, :, None, None, None],
-                                   (B, G, G, bdash, 1))
-            toks = jnp.take_along_axis(
-                jnp.broadcast_to(beam_seq[:, None], (B, G, G, bdash, L)),
-                idx, axis=4)[..., 0]                # [B, Gt, Gs, bdash]
-            onehot = jax.nn.one_hot(toks, V1, dtype=jnp.float32)
-            src_before = (jnp.arange(G)[:, None] > jnp.arange(G)[None, :])
-            change = (onehot * src_before[None, :, :, None, None]
-                      ).sum(axis=(2, 3))            # [B, Gt, V1]
-            lp = (unaug_lp - diversity_lambda * change[:, :, None, :]
-                  ).reshape(NBG, V1)
-        else:
-            lp = unaug_lp.reshape(NBG, V1)
+            lp = logprobs_table[:, g].reshape(B * bdash, V1)
 
-        # ---- beam_step (CaptionModel.py:60-110) ----
-        lp4 = lp.reshape(B, G, bdash, V1)
-        first_mask = jnp.where(
-            (local_t == 0)[None, :, None] & (jnp.arange(bdash) > 0)[None, None, :],
-            NEG, 0.0)
-        sums_for_step = beam_logprobs_sum + first_mask
-        candidates = sums_for_step[..., None] + lp4
-        flat = candidates.reshape(B, G, bdash * V1)
-        ys, ix = jax.lax.top_k(flat, bdash)         # [B, G, bdash]
-        beam_ix = ix // V1
-        sel_ix = ix % V1
+            # ---- constraints (CaptionModel.py:154-162) ----
+            prev_tok = cur_seq[g].reshape(B * bdash, L)[
+                :, jnp.maximum(lt - 1, 0)]
+            has_prev = local_t > 0
+            if decoding_constraint:
+                lp = lp.at[jnp.arange(B * bdash), prev_tok].add(
+                    jnp.where(has_prev, -jnp.inf, 0.0))
+            if remove_bad_endings and dm.bad_endings_ix:
+                was_bad = _bad_endings_mask(prev_tok, dm.bad_endings_ix, V1)
+                lp = lp.at[:, 0].add(
+                    jnp.where(has_prev & was_bad, -jnp.inf, 0.0))
+            if suppress_unk and dm.unk_idx is not None:
+                lp = lp.at[:, dm.unk_idx].add(-1000.0)
 
-        def gb(x):  # gather beams along dim 2 by beam_ix
-            bi = beam_ix.reshape(beam_ix.shape + (1,) * (x.ndim - 3))
-            return jnp.take_along_axis(x, jnp.broadcast_to(
-                bi, beam_ix.shape + x.shape[3:]), axis=2)
+            unaug_lp = lp.reshape(B, bdash, V1)
 
-        new_beam_seq = gb(beam_seq)
-        lt_col = lt[None, :, None, None].repeat(B, 0).repeat(bdash, 2)
-        new_beam_seq = _set_at_time(new_beam_seq, lt_col, sel_ix)
-        new_beam_seq_logprobs = gb(beam_seq_logprobs)
-        unaug_sel = gb(unaug_lp)                    # [B, G, bdash, V1]
-        new_beam_seq_logprobs = _set_at_time_vec(
-            new_beam_seq_logprobs, lt_col, unaug_sel)
-        new_sums = ys
+            # ---- diversity penalty (CaptionModel.py:38-55) ----
+            if g > 0:
+                toks = jnp.stack([cur_seq[i][:, :, lt] for i in range(g)],
+                                 axis=1)            # [B, g, bdash]
+                change = jax.nn.one_hot(toks, V1, dtype=jnp.float32
+                                        ).sum(axis=(1, 2))  # [B, V1]
+                lp3 = unaug_lp - diversity_lambda * change[:, None, :]
+            else:
+                lp3 = unaug_lp
 
-        # state reorder: flat row = (b*G + g)*bdash + beam
-        base = (jnp.arange(B)[:, None, None] * G + jnp.arange(G)[None, :, None]
-                ) * bdash
-        state_ix = (base + beam_ix).reshape(-1)
+            # ---- beam_step (CaptionModel.py:60-110) ----
+            first_mask = jnp.where((local_t == 0) & (beam_rng > 0), NEG,
+                                   0.0)              # [bdash]
+            sums_for_step = cur_sums[g] + first_mask[None, :]
+            candidates = sums_for_step[..., None] + lp3
+            ys, ix = jax.lax.top_k(candidates.reshape(B, bdash * V1), bdash)
+            beam_ix = ix // V1                      # [B, bdash]
+            sel_ix = ix % V1
+
+            def gb(x):  # gather beams along dim 1 by beam_ix
+                bi = beam_ix.reshape(beam_ix.shape + (1,) * (x.ndim - 2))
+                return jnp.take_along_axis(x, jnp.broadcast_to(
+                    bi, beam_ix.shape + x.shape[2:]), axis=1)
+
+            time_onehot = jax.nn.one_hot(lt, L, dtype=bool)  # [L]
+            new_seq = jnp.where(time_onehot[None, None, :],
+                                sel_ix[..., None], gb(cur_seq[g]))
+            new_logps = jnp.where(time_onehot[None, None, :, None],
+                                  gb(unaug_lp)[..., None, :],
+                                  gb(cur_logps[g]))
+            new_sums = ys
+
+            # ---- finished-beam pool merge (CaptionModel.py:182-198) ----
+            just_ended = (sel_ix == dm.eos_idx) | (local_t == L - 1)
+            cand_p = length_penalty((lt + 1).astype(jnp.float32), new_sums)
+            cand_p = jnp.where(just_ended, cand_p, NEG)
+            cand_unaug = new_logps.sum((-1, -2))
+
+            merged_p = jnp.concatenate([cur_pp[g], cand_p], axis=1)
+            merged_unaug = jnp.concatenate([cur_pu[g], cand_unaug], axis=1)
+            merged_seq = jnp.concatenate([cur_pseq[g], new_seq], axis=1)
+            merged_logps = jnp.concatenate([cur_plogps[g], new_logps], axis=1)
+            top_p, top_i = jax.lax.top_k(merged_p, bdash)
+            new_pp = top_p
+            new_pu = jnp.take_along_axis(merged_unaug, top_i, axis=1)
+            new_pseq = jnp.take_along_axis(
+                merged_seq, top_i[..., None].repeat(L, 2), axis=1)
+            new_plogps = jnp.take_along_axis(
+                merged_logps, top_i[..., None, None], axis=1)
+
+            new_sums = new_sums - 1000.0 * just_ended
+
+            # ---- freeze if outside this group's time window ----
+            cur_seq[g] = jnp.where(active, new_seq, cur_seq[g])
+            cur_logps[g] = jnp.where(active, new_logps, cur_logps[g])
+            cur_sums[g] = jnp.where(active, new_sums, cur_sums[g])
+            cur_pseq[g] = jnp.where(active, new_pseq, cur_pseq[g])
+            cur_plogps[g] = jnp.where(active, new_plogps, cur_plogps[g])
+            cur_pp[g] = jnp.where(active, new_pp, cur_pp[g])
+            cur_pu[g] = jnp.where(active, new_pu, cur_pu[g])
+            sel_list.append(sel_ix)
+            beamix_list.append(beam_ix)
+            active_list.append(active)
+
+        # ---- batched model step for all groups (CaptionModel.py:202-204) ----
+        beam_ix_all = jnp.stack(beamix_list, axis=1)     # [B, G, bdash]
+        base = (jnp.arange(B)[:, None, None] * G +
+                jnp.arange(G)[None, :, None]) * bdash
+        state_ix = (base + beam_ix_all).reshape(-1)
         new_state = gather_tree(state, state_ix)
-
-        # ---- finished-beam pool merge (CaptionModel.py:182-198) ----
-        just_ended = (sel_ix == dm.eos_idx) | (local_t == L - 1)[None, :, None]
-        cand_len = (lt + 1).astype(jnp.float32)[None, :, None]
-        cand_p = length_penalty(cand_len, new_sums)
-        cand_p = jnp.where(just_ended, cand_p, NEG)
-        cand_unaug = new_beam_seq_logprobs.sum((-1, -2))
-
-        merged_p = jnp.concatenate([pool_p, cand_p], axis=2)
-        merged_unaug = jnp.concatenate([pool_unaug, cand_unaug], axis=2)
-        merged_seq = jnp.concatenate([pool_seq, new_beam_seq], axis=2)
-        merged_logps = jnp.concatenate([pool_logps, new_beam_seq_logprobs],
-                                       axis=2)
-        top_p, top_i = jax.lax.top_k(merged_p, bdash)
-        new_pool_p = top_p
-        new_pool_unaug = jnp.take_along_axis(merged_unaug, top_i, axis=2)
-        new_pool_seq = jnp.take_along_axis(
-            merged_seq, top_i[..., None].repeat(L, 3), axis=2)
-        new_pool_logps = jnp.take_along_axis(
-            merged_logps, top_i[..., None, None], axis=2)
-
-        new_sums = new_sums - 1000.0 * just_ended
-
-        # ---- model step (CaptionModel.py:202-204) ----
-        it = sel_ix.reshape(NBG).astype(jnp.int32)
+        it = jnp.stack(sel_list, axis=1).reshape(NBG).astype(jnp.int32)
         step_lp, stepped_state = dm.step(it, feats_per_beam, new_state,
                                          step_rng, True)
         step_lp = jax.nn.log_softmax(step_lp / temperature, axis=-1)
         new_logprobs_table = step_lp.reshape(B, G, bdash, V1)
 
-        # ---- freeze inactive groups ----
-        act_g = active[None, :, None]
-        act_rows = _expand_group(active, B, bdash)
-        beam_seq = jnp.where(act_g[..., None], new_beam_seq, beam_seq)
-        beam_seq_logprobs = jnp.where(act_g[..., None, None],
-                                      new_beam_seq_logprobs, beam_seq_logprobs)
-        beam_logprobs_sum = jnp.where(act_g, new_sums, beam_logprobs_sum)
+        active_vec = jnp.stack(active_list)              # [G]
+        act_g = active_vec[None, :, None]
+        act_rows = _expand_group(active_vec, B, bdash)
         logprobs_table = jnp.where(act_g[..., None], new_logprobs_table,
                                    logprobs_table)
-        pool_seq = jnp.where(act_g[..., None], new_pool_seq, pool_seq)
-        pool_logps = jnp.where(act_g[..., None, None], new_pool_logps,
-                               pool_logps)
-        pool_p = jnp.where(act_g, new_pool_p, pool_p)
-        pool_unaug = jnp.where(act_g, new_pool_unaug, pool_unaug)
         state = _where_tree(act_rows, stepped_state, state)
-        # keep state reorder for active groups only: rows of inactive groups
-        # were gathered with beam_ix==identity at local_t==0 masking;
-        # _where_tree above already restored frozen rows via old state.
+
+        beam_seq = jnp.stack(cur_seq, axis=1)
+        beam_seq_logprobs = jnp.stack(cur_logps, axis=1)
+        beam_logprobs_sum = jnp.stack(cur_sums, axis=1)
+        pool_seq = jnp.stack(cur_pseq, axis=1)
+        pool_logps = jnp.stack(cur_plogps, axis=1)
+        pool_p = jnp.stack(cur_pp, axis=1)
+        pool_unaug = jnp.stack(cur_pu, axis=1)
 
         return (state, logprobs_table, beam_seq, beam_seq_logprobs,
                 beam_logprobs_sum, pool_seq, pool_logps, pool_p, pool_unaug,
@@ -497,20 +506,6 @@ def _expand_group(vec_g, B, bdash):
     """[G] -> [B*G*bdash] by broadcasting over batch and beams."""
     G = vec_g.shape[0]
     return jnp.broadcast_to(vec_g[None, :, None], (B, G, bdash)).reshape(-1)
-
-
-def _set_at_time(x, t_col, val):
-    """x: [B,G,bdash,L]; write val [B,G,bdash] at per-(g) column t_col."""
-    L = x.shape[-1]
-    onehot = jax.nn.one_hot(t_col[..., 0], L, dtype=bool)
-    return jnp.where(onehot, val[..., None], x)
-
-
-def _set_at_time_vec(x, t_col, val):
-    """x: [B,G,bdash,L,V]; write val [B,G,bdash,V] at column t_col."""
-    L = x.shape[-2]
-    onehot = jax.nn.one_hot(t_col[..., 0], L, dtype=bool)
-    return jnp.where(onehot[..., None], val[..., None, :], x)
 
 
 def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,

@@ -38,6 +38,9 @@ class Captioner:
         self.bad_endings_ix, self.unk_idx = _vocab_indices(vocab, cfg.vocab_size)
         if cfg.caption_model == 'transformer':
             self.module = TransformerCaptioner(cfg)
+        elif cfg.caption_model == 'aoa':
+            from .aoa import AoACaptioner
+            self.module = AoACaptioner(cfg)
         else:
             self.module = AttCaptioner(cfg)
         self.is_transformer = cfg.caption_model == 'transformer'
@@ -202,11 +205,8 @@ def setup(opt, vocab: Optional[Dict[str, str]] = None) -> Captioner:
     if opt.caption_model not in supported:
         raise Exception("Caption model not supported: {}".format(
             opt.caption_model))
-    cfg = config_from_opt(opt, opt.vocab_size)
     if opt.caption_model in ('fc', 'show_tell'):
-        from .legacy import LegacyCaptioner
-        return LegacyCaptioner(cfg, vocab)
-    if opt.caption_model == 'aoa':
-        from .aoa import AoACaptioner
-        return AoACaptioner(cfg, vocab)
+        print('Warning: %s model is mostly deprecated; prefer newfc.'
+              % opt.caption_model)
+    cfg = config_from_opt(opt, opt.vocab_size)
     return Captioner(cfg, vocab)

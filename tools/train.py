@@ -1,0 +1,352 @@
+"""Training entry point.
+
+Behavioural port of ``/root/reference/tools/train.py`` on the TPU-native
+stack: same flag semantics, epoch-driven lr/ss/sc/struc/drop-worst
+schedules (train.py:133-167), infos/histories pickles, tensorboard
+scalars, best/latest/history checkpoints, and exception-save.  The
+compute is jit-compiled via modules.trainer; SCST/structure steps cross
+the host boundary once per iteration for CIDEr-D scoring.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import jax
+import numpy as np
+
+import captioning_tpu.utils.opts as opts
+import captioning_tpu.models as models
+import captioning_tpu.utils.eval_utils as eval_utils
+import captioning_tpu.utils.misc as utils
+from captioning_tpu.data.dataset import DataLoader
+from captioning_tpu.modules.trainer import Trainer
+from captioning_tpu.utils import optimizers as optim_utils
+from captioning_tpu.utils.rewards import (init_scorer,
+                                          get_self_critical_reward,
+                                          get_scores, get_self_cider_scores)
+
+try:
+    from torch.utils.tensorboard import SummaryWriter
+except Exception:  # tensorboard optional
+    SummaryWriter = None
+
+
+def _to_jnp(batch):
+    import jax.numpy as jnp
+    fc = jnp.asarray(batch['fc_feats'])
+    att = jnp.asarray(batch['att_feats'])
+    am = (jnp.asarray(batch['att_masks'])
+          if batch['att_masks'] is not None else None)
+    labels = jnp.asarray(batch['labels'])
+    masks = jnp.asarray(batch['masks'])
+    return fc, att, am, labels, masks
+
+
+def train(opt):
+    ################################
+    # Build dataloader
+    ################################
+    loader = DataLoader(opt)
+    opt.vocab_size = loader.vocab_size
+    opt.seq_length = loader.seq_length
+
+    ##########################
+    # Initialize infos
+    ##########################
+    infos = {
+        'iter': 0,
+        'epoch': 0,
+        'loader_state_dict': None,
+        'vocab': loader.get_vocab(),
+    }
+    if opt.start_from is not None and os.path.isfile(
+            os.path.join(opt.start_from, 'infos_' + opt.id + '.pkl')):
+        with open(os.path.join(opt.start_from,
+                               'infos_' + opt.id + '.pkl'), 'rb') as f:
+            infos = utils.pickle_load(f)
+            saved_model_opt = infos['opt']
+            need_be_same = ["caption_model", "rnn_type", "rnn_size",
+                            "num_layers"]
+            for checkme in need_be_same:
+                assert getattr(saved_model_opt, checkme) == \
+                    getattr(opt, checkme), \
+                    "Command line argument and saved model disagree on " \
+                    "'%s'" % checkme
+    infos['opt'] = opt
+
+    histories = defaultdict(dict)
+    if opt.start_from is not None and os.path.isfile(
+            os.path.join(opt.start_from, 'histories_' + opt.id + '.pkl')):
+        with open(os.path.join(opt.start_from,
+                               'histories_' + opt.id + '.pkl'), 'rb') as f:
+            histories.update(utils.pickle_load(f))
+
+    tb_writer = SummaryWriter(opt.checkpoint_path) if SummaryWriter else None
+
+    def tb_add(key, value, it):
+        if tb_writer:
+            tb_writer.add_scalar(key, value, it)
+
+    ##########################
+    # Build model
+    ##########################
+    opt.vocab = loader.get_vocab()
+    captioner = models.setup(opt, opt.vocab)
+    del opt.vocab
+    rng = jax.random.PRNGKey(getattr(opt, 'seed', 42) or 42)
+    rng, init_rng = jax.random.split(rng)
+    variables = captioner.init_params(init_rng)
+    if opt.start_from is not None and os.path.isfile(
+            os.path.join(opt.start_from, 'model.npz')):
+        variables = utils.load_pytree(
+            os.path.join(opt.start_from, 'model.npz'))
+        print('loaded model from', opt.start_from)
+
+    # PPO old model
+    old_variables = None
+    if getattr(opt, 'use_ppo', 0):
+        assert opt.ppo_old_model_path is not None, \
+            'Must provide old model path for PPO'
+        old_variables = utils.load_pytree(opt.ppo_old_model_path)
+
+    trainer = Trainer(captioner, opt, old_variables=old_variables)
+
+    ##########################
+    # Build optimizer
+    ##########################
+    if opt.noamopt:
+        assert opt.caption_model in ['transformer', 'bert', 'm2transformer'], \
+            'noamopt can only work with transformer'
+    opt_state = trainer.init_opt_state(variables)
+    if opt.start_from is not None and os.path.isfile(
+            os.path.join(opt.start_from, 'optimizer.npz')):
+        loaded = utils.load_pytree(os.path.join(opt.start_from,
+                                                'optimizer.npz'))
+        opt_state = jax.tree.unflatten(jax.tree.structure(opt_state),
+                                       jax.tree.leaves(loaded))
+
+    plateau = None
+    if opt.reduce_on_plateau:
+        plateau = optim_utils.ReduceLROnPlateau(
+            opt.learning_rate, factor=opt.reduce_on_plateau_factor,
+            patience=opt.reduce_on_plateau_patience)
+        plateau.load_state_dict(infos.get('plateau_state_dict'))
+
+    #########################
+    # Get ready to start
+    #########################
+    iteration = infos['iter']
+    epoch = infos['epoch']
+    loader.load_state_dict(infos['loader_state_dict'])
+    best_val_score = None
+    if opt.load_best_score == 1:
+        best_val_score = infos.get('best_val_score', None)
+
+    epoch_done = True
+    sc_flag = struc_flag = drop_worst_flag = False
+    opt.current_lr = opt.learning_rate
+    ss_prob = 0.0
+
+    d_model = getattr(opt, 'd_model', opt.input_encoding_size)
+
+    try:
+        while True:
+            if epoch >= opt.max_epochs and opt.max_epochs != -1:
+                break
+
+            if epoch_done:
+                if not opt.noamopt and not opt.reduce_on_plateau:
+                    opt.current_lr = optim_utils.epoch_decay_lr(opt, epoch)
+                # scheduled sampling prob (train.py:144-147)
+                if (opt.scheduled_sampling_start >= 0 and
+                        epoch > opt.scheduled_sampling_start):
+                    frac = ((epoch - opt.scheduled_sampling_start) //
+                            opt.scheduled_sampling_increase_every)
+                    ss_prob = min(opt.scheduled_sampling_increase_prob * frac,
+                                  opt.scheduled_sampling_max_prob)
+                opt.ss_prob = ss_prob
+                # self-critical / structure flags (train.py:149-165)
+                if (opt.self_critical_after != -1 and
+                        epoch >= opt.self_critical_after):
+                    sc_flag = True
+                    init_scorer(opt.cached_tokens)
+                else:
+                    sc_flag = False
+                if (opt.structure_after != -1 and
+                        epoch >= opt.structure_after):
+                    struc_flag = True
+                    init_scorer(opt.cached_tokens)
+                else:
+                    struc_flag = False
+                drop_worst_flag = (opt.drop_worst_after != -1 and
+                                   epoch >= opt.drop_worst_after)
+                epoch_done = False
+
+            start = time.time()
+            if opt.noamopt:
+                opt.current_lr = optim_utils.noam_rate(
+                    iteration + 1, d_model, opt.noamopt_factor,
+                    opt.noamopt_warmup)
+            elif opt.reduce_on_plateau:
+                opt.current_lr = plateau.current_lr
+            if opt.use_warmup and (iteration < opt.noamopt_warmup):
+                opt.current_lr = (opt.learning_rate * (iteration + 1) /
+                                  opt.noamopt_warmup)
+
+            data = loader.get_batch('train')
+            print('Read data:', time.time() - start)
+
+            start = time.time()
+            fc, att, am, labels, masks = _to_jnp(data)
+            rng, step_rng = jax.random.split(rng)
+
+            out = {}
+            if struc_flag:
+                rng_a, rng_lm = jax.random.split(step_rng)
+                gen_seq = trainer.struc_decode(variables, fc, att, am, rng_a)
+                gen_np = np.asarray(gen_seq)
+                if opt.structure_loss_weight > 0:
+                    scores = get_scores(data['gts'], gen_np, opt)
+                else:
+                    scores = np.zeros((gen_np.shape[0],), np.float32)
+                if getattr(opt, 'self_cider_reward_weight', 0) > 0:
+                    sc_scores = get_self_cider_scores(data['gts'], gen_np, opt)
+                else:
+                    sc_scores = np.zeros((len(data['gts']),), np.float32)
+                import jax.numpy as jnp
+                variables, opt_state, out = trainer.struc_grad_step(
+                    variables, opt_state, fc, att, labels, masks, am,
+                    gen_seq, jnp.asarray(scores), jnp.asarray(sc_scores),
+                    opt.current_lr, rng_a, rng_lm,
+                    drop_worst_flag=drop_worst_flag)
+            elif not sc_flag:
+                variables, opt_state, out = trainer.xe_step(
+                    variables, opt_state, fc, att, labels, masks, am,
+                    opt.current_lr, ss_prob, step_rng,
+                    drop_worst_flag=drop_worst_flag)
+            else:
+                rng_g, rng_s = jax.random.split(step_rng)
+                greedy_seq, gen_seq = trainer.sc_decode(
+                    variables, fc, att, am, rng_g, rng_s)
+                reward = get_self_critical_reward(
+                    np.asarray(greedy_seq), data['gts'], np.asarray(gen_seq),
+                    opt)
+                import jax.numpy as jnp
+                variables, opt_state, out = trainer.sc_grad_step(
+                    variables, opt_state, fc, att, am, gen_seq,
+                    jnp.asarray(reward), opt.current_lr, rng_s,
+                    drop_worst_flag=drop_worst_flag)
+                out['reward'] = float(reward[:, 0].mean())
+
+            train_loss = float(out['loss'])
+            end = time.time()
+            if struc_flag:
+                print("iter {} (epoch {}), train_loss = {:.3f}, lm_loss = "
+                      "{:.3f}, struc_loss = {:.3f}, time/batch = {:.3f}"
+                      .format(iteration, epoch, train_loss,
+                              float(out['lm_loss']), float(out['struc_loss']),
+                              end - start))
+            elif not sc_flag:
+                print("iter {} (epoch {}), train_loss = {:.3f}, time/batch = "
+                      "{:.3f}".format(iteration, epoch, train_loss,
+                                      end - start))
+            else:
+                print("iter {} (epoch {}), avg_reward = {:.3f}, time/batch = "
+                      "{:.3f}".format(iteration, epoch, out['reward'],
+                                      end - start))
+
+            iteration += 1
+            if data['bounds']['wrapped']:
+                epoch += 1
+                epoch_done = True
+
+            # Write the training loss summary (train.py:216-235)
+            if iteration % opt.losses_log_every == 0:
+                tb_add('train_loss', train_loss, iteration)
+                tb_add('learning_rate', opt.current_lr, iteration)
+                tb_add('scheduled_sampling_prob', ss_prob, iteration)
+                if sc_flag:
+                    tb_add('avg_reward', out['reward'], iteration)
+                elif struc_flag:
+                    tb_add('lm_loss', float(out['lm_loss']), iteration)
+                    tb_add('struc_loss', float(out['struc_loss']), iteration)
+                    tb_add('reward', float(np.asarray(out['reward']).mean()),
+                           iteration)
+                    tb_add('reward_var',
+                           float(np.asarray(out['reward']).var(1).mean()),
+                           iteration)
+                histories['loss_history'][iteration] = (
+                    train_loss if not sc_flag else out['reward'])
+                histories['lr_history'][iteration] = opt.current_lr
+                histories['ss_prob_history'][iteration] = ss_prob
+
+            infos['iter'] = iteration
+            infos['epoch'] = epoch
+            infos['loader_state_dict'] = loader.state_dict()
+
+            # Evaluate + checkpoint (train.py:243-285)
+            if ((iteration % opt.save_checkpoint_every == 0 and
+                 not opt.save_every_epoch) or
+                    (epoch_done and opt.save_every_epoch)):
+                eval_kwargs = {'split': 'val', 'dataset': opt.input_json}
+                eval_kwargs.update(vars(opt))
+                val_loss, predictions, lang_stats = eval_utils.eval_split(
+                    captioner, variables, loader, eval_kwargs)
+
+                if opt.reduce_on_plateau:
+                    if lang_stats is not None and 'CIDEr' in lang_stats:
+                        plateau.step(-lang_stats['CIDEr'])
+                    else:
+                        plateau.step(val_loss)
+                tb_add('validation loss', val_loss, iteration)
+                if lang_stats is not None:
+                    for k, v in lang_stats.items():
+                        if isinstance(v, (int, float)):
+                            tb_add(k, v, iteration)
+                histories['val_result_history'][iteration] = {
+                    'loss': val_loss, 'lang_stats': lang_stats,
+                    'predictions': predictions}
+
+                if opt.language_eval == 1:
+                    current_score = lang_stats['CIDEr']
+                else:
+                    current_score = -val_loss
+
+                best_flag = False
+                if best_val_score is None or current_score > best_val_score:
+                    best_val_score = current_score
+                    best_flag = True
+
+                infos['best_val_score'] = best_val_score
+                if plateau is not None:
+                    infos['plateau_state_dict'] = plateau.state_dict()
+
+                utils.save_checkpoint(opt, variables, infos, opt_state,
+                                      histories)
+                if opt.save_history_ckpt:
+                    utils.save_checkpoint(
+                        opt, variables, infos, opt_state,
+                        append=str(epoch) if opt.save_every_epoch
+                        else str(iteration))
+                if best_flag:
+                    utils.save_checkpoint(opt, variables, infos, opt_state,
+                                          append='best')
+
+    except (RuntimeError, KeyboardInterrupt):
+        print('Save ckpt on exception ...')
+        utils.save_checkpoint(opt, variables, infos, opt_state)
+        print('Save ckpt done.')
+        stack_trace = traceback.format_exc()
+        print(stack_trace)
+
+
+if __name__ == '__main__':
+    opt = opts.parse_opt()
+    train(opt)
