@@ -1,0 +1,82 @@
+"""Benchmark: captions/sec/chip at beam=5 on the flagship transformer.
+
+Production shapes: COCO vocab (9487+1), bottom-up 36x2048 att features,
+transformer N=6 / d_model=512 / d_ff=2048 / h=8 (configs/transformer.yml),
+max_length=20, beam_size=5 — the MODEL_ZOO headline eval configuration.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
+the denominator is a measured-order estimate of the reference's single-GPU
+beam-5 transformer eval throughput (~15 captions/s at batch 10 on a
+contemporary GPU: COCO 5k test in ~5-6 min).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from types import SimpleNamespace
+
+import numpy as np
+
+REFERENCE_CAPTIONS_PER_SEC = 15.0  # estimated torch single-GPU baseline
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from captioning_tpu.models import setup
+
+    V = 9487
+    opt = SimpleNamespace(
+        caption_model='transformer', vocab_size=V,
+        input_encoding_size=512, rnn_size=2048, num_layers=6,
+        drop_prob_lm=0.5, fc_feat_size=2048, att_feat_size=2048,
+        att_hid_size=512, seq_per_img=5, max_length=20,
+        compute_dtype='bfloat16',
+        N_enc=6, N_dec=6, d_model=512, d_ff=2048, num_att_heads=8,
+        dropout=0.1)
+    vocab = {str(i): 'w%d' % i for i in range(1, V + 1)}
+    captioner = setup(opt, vocab)
+    variables = captioner.init_params(jax.random.PRNGKey(0), att_len=36)
+
+    B = 64
+    rng = np.random.RandomState(0)
+    fc = jnp.asarray(rng.randn(B, 2048).astype('float32'))
+    att = jnp.asarray(rng.randn(B, 36, 2048).astype('float32'))
+    am = jnp.ones((B, 36), jnp.float32)
+
+    beam_opt = {'beam_size': 5, 'sample_n': 1, 'group_size': 1,
+                'suppress_UNK': 1}
+
+    # compile
+    t0 = time.time()
+    seq, _, _ = captioner.sample_beam_jit(variables, fc, att, am,
+                                          jax.random.PRNGKey(1), beam_opt)
+    jax.block_until_ready(seq)
+    compile_s = time.time() - t0
+
+    # steady state
+    iters = 10
+    t0 = time.time()
+    for i in range(iters):
+        seq, _, _ = captioner.sample_beam_jit(variables, fc, att, am,
+                                              jax.random.PRNGKey(i), beam_opt)
+    jax.block_until_ready(seq)
+    dt = time.time() - t0
+    cps = B * iters / dt
+
+    print(json.dumps({
+        'metric': 'captions_per_sec_per_chip_beam5_transformer',
+        'value': round(cps, 2),
+        'unit': 'captions/s',
+        'vs_baseline': round(cps / REFERENCE_CAPTIONS_PER_SEC, 2),
+    }))
+    import sys
+    print('details: batch=%d iters=%d steady=%.2fs compile=%.1fs' %
+          (B, iters, dt, compile_s), file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

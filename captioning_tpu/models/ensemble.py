@@ -1,0 +1,119 @@
+"""Inference-time model ensemble.
+
+TPU-native counterpart of ``/root/reference/captioning/models/AttEnsemble.py``:
+per-step probabilities of each member are weighted-averaged in probability
+space, then logged (AttEnsemble.py:56).  Instead of packed state lists,
+the ensemble state is a dict of per-member state pytrees — beam reordering
+gathers every leaf uniformly.
+
+When all members share one architecture the per-member steps could be a
+single vmap over stacked params; members here may differ (e.g. updown +
+transformer), so the general form runs them side by side — XLA still fuses
+them into one program.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..engine.decoding import DecodeModel
+
+
+class EnsembleCaptioner:
+    """Captioner-compatible facade over N (captioner, variables) members."""
+
+    def __init__(self, captioners: List, weights: Optional[Sequence[float]]
+                 = None):
+        self.members = captioners
+        self.cfg = captioners[0].cfg
+        self.vocab = captioners[0].vocab
+        self.bad_endings_ix = captioners[0].bad_endings_ix
+        self.unk_idx = captioners[0].unk_idx
+        w = jnp.asarray(weights if weights is not None
+                        else [1.0] * len(captioners), jnp.float32)
+        self.weights = w / w.sum()
+        self._jit_cache: Dict = {}
+
+    def bind(self, variables_list, train: bool = False) -> DecodeModel:
+        dms = [c.bind(v, train) for c, v in zip(self.members, variables_list)]
+        weights = self.weights
+
+        def prepare(fc, att, att_masks, rng):
+            return {'m%d' % i: dm.prepare(fc, att, att_masks, rng)
+                    for i, dm in enumerate(dms)}
+
+        def init_state(batch):
+            return {'m%d' % i: dm.init_state(batch)
+                    for i, dm in enumerate(dms)}
+
+        def step(it, feats, state, rng, logsoftmax=True):
+            probs = None
+            new_state = {}
+            for i, dm in enumerate(dms):
+                lp, st = dm.step(it, feats['m%d' % i], state['m%d' % i],
+                                 rng, True)
+                p = jnp.exp(lp) * weights[i]
+                probs = p if probs is None else probs + p
+                new_state['m%d' % i] = st
+            logprobs = jnp.log(jnp.maximum(probs, 1e-38))
+            return logprobs, new_state
+
+        cfg = self.cfg
+        return DecodeModel(
+            prepare=prepare, init_state=init_state, step=step,
+            seq_length=cfg.seq_length, vocab_plus=cfg.vocab_size + 1,
+            bos_idx=cfg.bos_idx, eos_idx=cfg.eos_idx, pad_idx=cfg.pad_idx,
+            unk_idx=self.unk_idx, bad_endings_ix=self.bad_endings_ix)
+
+    # jitted eval-time entry points mirroring Captioner
+    def _freeze_opt(self, opt):
+        return tuple(sorted((k, v) for k, v in opt.items()
+                            if not isinstance(v, (dict, list))))
+
+    def sample_jit(self, variables_list, fc, att, am, rng, opt,
+                   train: bool = False):
+        from ..engine import decoding
+        key = ('sample', self._freeze_opt(opt), train)
+        if key not in self._jit_cache:
+            opt_c = dict(opt)
+
+            def fn(variables_list, fc, att, am, rng):
+                dm = self.bind(variables_list, train)
+                return decoding.sample(dm, fc, att, am, rng, opt_c)
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](variables_list, fc, att, am, rng)
+
+    def sample_beam_jit(self, variables_list, fc, att, am, rng, opt,
+                        train: bool = False):
+        from ..engine import decoding
+        key = ('beam', self._freeze_opt(opt), train)
+        if key not in self._jit_cache:
+            opt_c = dict(opt)
+
+            def fn(variables_list, fc, att, am, rng):
+                dm = self.bind(variables_list, train)
+                return decoding.sample_beam(dm, fc, att, am, rng, opt_c)
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](variables_list, fc, att, am, rng)
+
+    def forward_tf_jit(self, variables_list, fc, att, seq, am,
+                       ss_prob=0.0, rng=None, train: bool = False):
+        """Ensemble TF loss path: average member probabilities per step."""
+        key = ('tf', train)
+        if key not in self._jit_cache:
+            def fn(variables_list, fc, att, seq, am, rng):
+                probs = None
+                for c, v, w in zip(self.members, variables_list,
+                                   self.weights):
+                    lp = c.forward_tf(v, fc, att, seq, am, 0.0, rng, train)
+                    p = jnp.exp(lp) * w
+                    probs = p if probs is None else probs + p
+                return jnp.log(jnp.maximum(probs, 1e-38))
+            self._jit_cache[key] = jax.jit(fn)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        return self._jit_cache[key](variables_list, fc, att, seq, am, rng)

@@ -1,0 +1,110 @@
+"""Device mesh + sharding rules.
+
+The reference's parallelism surface is single-node DataParallel + Lightning
+DDP (``/root/reference/tools/train.py:86-88``, ``train_pl.py:479-480``);
+here it becomes a ``jax.sharding.Mesh`` with:
+
+* ``data`` axis: batch sharding of every input (the only parallelism the
+  workload requires for parity — SURVEY.md section 2.10); gradient psum is
+  inserted by XLA over ICI.
+* ``model`` axis (optional): tensor parallelism of the vocab projection
+  (logit/generator kernel and tgt embedding sharded on the vocab dim) — a
+  perf lever for the V~9.5k logit matmul in the per-token decode loop.
+
+Multi-host: each process feeds its local shard of the batch
+(``process_index``-strided slice of the global batch); host-side prediction
+gather for language_eval uses ``multihost_utils.process_allgather``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_shape: str = '', devices=None) -> Mesh:
+    """Parse "data:4,model:2" into a Mesh; default all devices on data."""
+    devices = devices if devices is not None else jax.devices()
+    if not mesh_shape:
+        return Mesh(np.array(devices), ('data',))
+    axes, sizes = [], []
+    for part in mesh_shape.split(','):
+        name, size = part.split(':')
+        axes.append(name.strip())
+        sizes.append(int(size))
+    n = int(np.prod(sizes))
+    assert n <= len(devices), \
+        'mesh %s needs %d devices, have %d' % (mesh_shape, n, len(devices))
+    dev = np.array(devices[:n]).reshape(sizes)
+    return Mesh(dev, tuple(axes))
+
+
+# param paths (joined with '/') whose LAST dim is the vocab dim -> shard on
+# 'model' when present; these are the big vocab projections.
+_VOCAB_OUT_PARAMS = re.compile(
+    r'(logit/kernel|generator/kernel|tgt_embed)$')
+
+
+def param_sharding_spec(path: str, mesh: Mesh, shape=None) -> P:
+    model_size = mesh.shape.get('model', 1)
+    if 'model' in mesh.axis_names and model_size > 1:
+        if _VOCAB_OUT_PARAMS.search(path):
+            # kernel [in, V] / embed [V, D]: shard the V dim (when divisible)
+            if path.endswith('tgt_embed'):
+                if shape is None or shape[0] % model_size == 0:
+                    return P('model', None)
+            elif shape is None or (len(shape) > 1 and
+                                   shape[1] % model_size == 0):
+                return P(None, 'model')
+    return P()
+
+
+def shard_variables(variables, mesh: Mesh):
+    """Place params on the mesh (replicated except vocab-dim TP shards)."""
+    def place(path_entries, x):
+        path = '/'.join(str(getattr(p, 'key', getattr(p, 'idx', p)))
+                        for p in path_entries)
+        spec = param_sharding_spec(path, mesh, getattr(x, 'shape', None))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, variables)
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Shard every array's leading (batch) dim on the data axis."""
+    def place(x):
+        if x is None:
+            return None
+        spec = P('data') if getattr(x, 'ndim', 0) >= 1 else P()
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+    return jax.tree.map(place, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: None if x is None else
+        jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """This host's strided slice of the global batch (multi-host input
+    sharding; replaces Lightning's per-GPU batch split train_pl.py:459)."""
+    n_proc = jax.process_count()
+    per = global_batch_size // n_proc
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
+def gather_predictions(predictions):
+    """Host-side all-gather of per-process prediction lists (replaces
+    detectron2 comm.gather, train_pl.py:224-276)."""
+    if jax.process_count() == 1:
+        return predictions
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(predictions)
+    return gathered
