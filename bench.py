@@ -50,20 +50,21 @@ def main():
     beam_opt = {'beam_size': 5, 'sample_n': 1, 'group_size': 1,
                 'suppress_UNK': 1}
 
-    # compile
+    # compile (np.asarray forces real execution + transfer; plain
+    # block_until_ready can be deferred by remoted backends)
     t0 = time.time()
     seq, _, _ = captioner.sample_beam_jit(variables, fc, att, am,
                                           jax.random.PRNGKey(1), beam_opt)
-    jax.block_until_ready(seq)
+    np.asarray(seq)
     compile_s = time.time() - t0
 
     # steady state
-    iters = 10
+    iters = 5
     t0 = time.time()
     for i in range(iters):
         seq, _, _ = captioner.sample_beam_jit(variables, fc, att, am,
                                               jax.random.PRNGKey(i), beam_opt)
-    jax.block_until_ready(seq)
+        np.asarray(seq)
     dt = time.time() - t0
     cps = B * iters / dt
 

@@ -153,6 +153,22 @@ def train(opt):
     sc_flag = struc_flag = drop_worst_flag = False
     opt.current_lr = opt.learning_rate
     ss_prob = 0.0
+    native_scorer = None
+
+    def get_native_scorer():
+        """C++ CIDEr-D fast path (~30x the python scorer); used when the
+        reward is pure CIDEr (the default; bleu falls back to python)."""
+        nonlocal native_scorer
+        if native_scorer is None and opt.cider_reward_weight > 0 and \
+                opt.bleu_reward_weight == 0:
+            try:
+                from captioning_tpu.utils.cider_native import NativeCiderD
+                native_scorer = NativeCiderD(opt.cached_tokens)
+                print('using native C++ CIDEr-D scorer')
+            except Exception as e:
+                print('native CIDEr-D unavailable (%s); python fallback' % e)
+                native_scorer = False
+        return native_scorer or None
 
     d_model = getattr(opt, 'd_model', opt.input_encoding_size)
 
@@ -213,7 +229,14 @@ def train(opt):
                 gen_seq = trainer.struc_decode(variables, fc, att, am, rng_a)
                 gen_np = np.asarray(gen_seq)
                 if opt.structure_loss_weight > 0:
-                    scores = get_scores(data['gts'], gen_np, opt)
+                    nat = get_native_scorer()
+                    if nat is not None:
+                        from captioning_tpu.utils.cider_native import \
+                            native_get_scores
+                        scores = native_get_scores(nat, data['gts'], gen_np,
+                                                   opt.cider_reward_weight)
+                    else:
+                        scores = get_scores(data['gts'], gen_np, opt)
                 else:
                     scores = np.zeros((gen_np.shape[0],), np.float32)
                 if getattr(opt, 'self_cider_reward_weight', 0) > 0:
@@ -235,9 +258,17 @@ def train(opt):
                 rng_g, rng_s = jax.random.split(step_rng)
                 greedy_seq, gen_seq = trainer.sc_decode(
                     variables, fc, att, am, rng_g, rng_s)
-                reward = get_self_critical_reward(
-                    np.asarray(greedy_seq), data['gts'], np.asarray(gen_seq),
-                    opt)
+                nat = get_native_scorer()
+                if nat is not None:
+                    from captioning_tpu.utils.cider_native import \
+                        native_self_critical_reward
+                    reward = native_self_critical_reward(
+                        nat, np.asarray(greedy_seq), data['gts'],
+                        np.asarray(gen_seq), opt.cider_reward_weight)
+                else:
+                    reward = get_self_critical_reward(
+                        np.asarray(greedy_seq), data['gts'],
+                        np.asarray(gen_seq), opt)
                 import jax.numpy as jnp
                 variables, opt_state, out = trainer.sc_grad_step(
                     variables, opt_state, fc, att, am, gen_seq,
