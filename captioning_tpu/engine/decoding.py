@@ -318,9 +318,11 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
     init_state:    state pytree with batch B.
     feats_per_beam: feats pytree repeated to B*G*bdash rows.
 
-    Returns dict with pool_seq [B, G, bdash, L], pool_logps
-    [B, G, bdash, L, V+1], pool_p [B, G, bdash] (sorted desc per group) and
-    pool_unaug_p.
+    Returns dict with pool seq [B, G, bdash, L], p [B, G, bdash]
+    (sorted desc per group) and unaug_p.  Full per-step distributions are
+    deliberately NOT carried through the scan (they are O(L*V) per beam —
+    the dominant memory traffic); winners' distributions are replayed
+    post-hoc by ``replay_beam_logps`` with identical constraint masks.
     """
     temperature = float(opt.get('temperature', 1.0))
     beam_size = int(opt.get('beam_size', 10))
@@ -343,11 +345,10 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
         init_logprobs[:, None, None, :], (B, G, bdash, V1))
 
     beam_seq = jnp.zeros((B, G, bdash, L), jnp.int32)
-    beam_seq_logprobs = jnp.zeros((B, G, bdash, L, V1), jnp.float32)
+    beam_unaug_cum = jnp.zeros((B, G, bdash), jnp.float32)
     beam_logprobs_sum = jnp.zeros((B, G, bdash), jnp.float32)
 
     pool_seq = jnp.zeros((B, G, bdash, L), jnp.int32)
-    pool_logps = jnp.zeros((B, G, bdash, L, V1), jnp.float32)
     pool_p = jnp.full((B, G, bdash), NEG, jnp.float32)
     pool_unaug = jnp.full((B, G, bdash), NEG, jnp.float32)
 
@@ -355,8 +356,8 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
     step_rngs = jax.random.split(rng, T_total)
 
     def body(carry, xs):
-        (state, logprobs_table, beam_seq, beam_seq_logprobs,
-         beam_logprobs_sum, pool_seq, pool_logps, pool_p, pool_unaug, t) = carry
+        (state, logprobs_table, beam_seq, beam_unaug_cum,
+         beam_logprobs_sum, pool_seq, pool_p, pool_unaug, t) = carry
         step_rng = xs
 
         # Groups are processed SEQUENTIALLY for the table math: the
@@ -365,10 +366,9 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
         # Only the model step is batched across groups (its inputs are the
         # end-of-step tokens, which have no intra-step dependency).
         cur_seq = [beam_seq[:, g] for g in range(G)]
-        cur_logps = [beam_seq_logprobs[:, g] for g in range(G)]
+        cur_ucum = [beam_unaug_cum[:, g] for g in range(G)]
         cur_sums = [beam_logprobs_sum[:, g] for g in range(G)]
         cur_pseq = [pool_seq[:, g] for g in range(G)]
-        cur_plogps = [pool_logps[:, g] for g in range(G)]
         cur_pp = [pool_p[:, g] for g in range(G)]
         cur_pu = [pool_unaug[:, g] for g in range(G)]
         sel_list, beamix_list, active_list = [], [], []
@@ -425,37 +425,35 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
             time_onehot = jax.nn.one_hot(lt, L, dtype=bool)  # [L]
             new_seq = jnp.where(time_onehot[None, None, :],
                                 sel_ix[..., None], gb(cur_seq[g]))
-            new_logps = jnp.where(time_onehot[None, None, :, None],
-                                  gb(unaug_lp)[..., None, :],
-                                  gb(cur_logps[g]))
+            # running sum of the stored distributions' totals ('unaug_p',
+            # CaptionModel.py:193) without carrying the distributions
+            unaug_row_sum = unaug_lp.sum(-1)                  # [B, bdash]
+            new_ucum = (jnp.take_along_axis(cur_ucum[g], beam_ix, axis=1) +
+                        jnp.take_along_axis(unaug_row_sum, beam_ix, axis=1))
             new_sums = ys
 
             # ---- finished-beam pool merge (CaptionModel.py:182-198) ----
             just_ended = (sel_ix == dm.eos_idx) | (local_t == L - 1)
             cand_p = length_penalty((lt + 1).astype(jnp.float32), new_sums)
             cand_p = jnp.where(just_ended, cand_p, NEG)
-            cand_unaug = new_logps.sum((-1, -2))
+            cand_unaug = new_ucum
 
             merged_p = jnp.concatenate([cur_pp[g], cand_p], axis=1)
             merged_unaug = jnp.concatenate([cur_pu[g], cand_unaug], axis=1)
             merged_seq = jnp.concatenate([cur_pseq[g], new_seq], axis=1)
-            merged_logps = jnp.concatenate([cur_plogps[g], new_logps], axis=1)
             top_p, top_i = jax.lax.top_k(merged_p, bdash)
             new_pp = top_p
             new_pu = jnp.take_along_axis(merged_unaug, top_i, axis=1)
             new_pseq = jnp.take_along_axis(
                 merged_seq, top_i[..., None].repeat(L, 2), axis=1)
-            new_plogps = jnp.take_along_axis(
-                merged_logps, top_i[..., None, None], axis=1)
 
             new_sums = new_sums - 1000.0 * just_ended
 
             # ---- freeze if outside this group's time window ----
             cur_seq[g] = jnp.where(active, new_seq, cur_seq[g])
-            cur_logps[g] = jnp.where(active, new_logps, cur_logps[g])
+            cur_ucum[g] = jnp.where(active, new_ucum, cur_ucum[g])
             cur_sums[g] = jnp.where(active, new_sums, cur_sums[g])
             cur_pseq[g] = jnp.where(active, new_pseq, cur_pseq[g])
-            cur_plogps[g] = jnp.where(active, new_plogps, cur_plogps[g])
             cur_pp[g] = jnp.where(active, new_pp, cur_pp[g])
             cur_pu[g] = jnp.where(active, new_pu, cur_pu[g])
             sel_list.append(sel_ix)
@@ -482,30 +480,79 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
         state = _where_tree(act_rows, stepped_state, state)
 
         beam_seq = jnp.stack(cur_seq, axis=1)
-        beam_seq_logprobs = jnp.stack(cur_logps, axis=1)
+        beam_unaug_cum = jnp.stack(cur_ucum, axis=1)
         beam_logprobs_sum = jnp.stack(cur_sums, axis=1)
         pool_seq = jnp.stack(cur_pseq, axis=1)
-        pool_logps = jnp.stack(cur_plogps, axis=1)
         pool_p = jnp.stack(cur_pp, axis=1)
         pool_unaug = jnp.stack(cur_pu, axis=1)
 
-        return (state, logprobs_table, beam_seq, beam_seq_logprobs,
-                beam_logprobs_sum, pool_seq, pool_logps, pool_p, pool_unaug,
+        return (state, logprobs_table, beam_seq, beam_unaug_cum,
+                beam_logprobs_sum, pool_seq, pool_p, pool_unaug,
                 t + 1), None
 
-    carry0 = (state, logprobs_table, beam_seq, beam_seq_logprobs,
-              beam_logprobs_sum, pool_seq, pool_logps, pool_p, pool_unaug,
+    carry0 = (state, logprobs_table, beam_seq, beam_unaug_cum,
+              beam_logprobs_sum, pool_seq, pool_p, pool_unaug,
               jnp.int32(0))
     carry, _ = jax.lax.scan(body, carry0, step_rngs)
-    (_, _, _, _, _, pool_seq, pool_logps, pool_p, pool_unaug, _) = carry
-    return {'seq': pool_seq, 'logps': pool_logps, 'p': pool_p,
-            'unaug_p': pool_unaug}
+    (_, _, _, _, _, pool_seq, pool_p, pool_unaug, _) = carry
+    return {'seq': pool_seq, 'p': pool_p, 'unaug_p': pool_unaug}
 
 
 def _expand_group(vec_g, B, bdash):
     """[G] -> [B*G*bdash] by broadcasting over batch and beams."""
     G = vec_g.shape[0]
     return jnp.broadcast_to(vec_g[None, :, None], (B, G, bdash)).reshape(-1)
+
+
+def replay_beam_logps(dm: DecodeModel, feats, seqs, rng,
+                      opt: Dict[str, Any]):
+    """Reproduce the per-step constrained distributions for given beam
+    winners (what the reference stored as done_beams 'logps').
+
+    seqs: [N, L]; feats must already be repeated to N rows.  Step 0 uses
+    the raw bos-step log-softmax; steps >= 1 go through
+    log_softmax(lp / temperature) exactly like the beam loop
+    (CaptionModel.py:204), then the same constraint masks are applied.
+    """
+    temperature = float(opt.get('temperature', 1.0))
+    decoding_constraint = int(opt.get('decoding_constraint', 0))
+    remove_bad_endings = int(opt.get('remove_bad_endings', 0))
+    suppress_unk = int(opt.get('suppress_UNK', 0))
+    N, L = seqs.shape
+    V1 = dm.vocab_plus
+    state0 = dm.init_state(N)
+    step_rngs = jax.random.split(rng, L)
+    inputs = jnp.concatenate(
+        [jnp.full((N, 1), dm.bos_idx, jnp.int32), seqs[:, :-1]], axis=1)
+
+    def body(carry, xs):
+        state, t = carry
+        it, step_rng = xs
+        # the input token at step t IS seq[t-1] (bos at t=0)
+        lp, state = dm.step(it, feats, state, step_rng, True)
+        lp = jnp.where(t > 0,
+                       jax.nn.log_softmax(lp / temperature, axis=-1), lp)
+        has_prev = t > 0
+        if decoding_constraint:
+            lp = lp.at[jnp.arange(N), it].add(
+                jnp.where(has_prev, -jnp.inf, 0.0))
+        if remove_bad_endings and dm.bad_endings_ix:
+            was_bad = _bad_endings_mask(it, dm.bad_endings_ix, V1)
+            lp = lp.at[:, 0].add(jnp.where(has_prev & was_bad, -jnp.inf, 0.0))
+        if suppress_unk and dm.unk_idx is not None:
+            lp = lp.at[:, dm.unk_idx].add(-1000.0)
+        return (state, t + 1), lp
+
+    (_, _), lps = jax.lax.scan(
+        body, (state0, jnp.int32(0)),
+        (inputs.T.astype(jnp.int32), step_rngs))
+    lps = jnp.swapaxes(lps, 0, 1)
+    # zero the steps past each winner's finish (pool seqs are 0-padded)
+    keep = jnp.concatenate(
+        [jnp.ones((N, 1), bool),
+         (seqs[:, :-1] != dm.pad_idx) & (seqs[:, :-1] != dm.eos_idx)], 1)
+    keep = jnp.cumprod(keep.astype(jnp.int32), axis=1).astype(bool)
+    return jnp.where(keep[..., None], lps, 0.0)
 
 
 def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
@@ -534,11 +581,12 @@ def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
 
     if sample_n == 1:
         seq = done['seq'][:, 0, 0]                       # best of group 0
-        logps = done['logps'][:, 0, 0]
+        replay_feats = feats
     else:
         # group 0's bdash beams (reference :246-250 takes done_beams[k][:n])
         seq = done['seq'][:, 0].reshape(B * sample_n, L)
-        logps = done['logps'][:, 0].reshape(B * sample_n, L, dm.vocab_plus)
+        replay_feats = repeat_tree(sample_n, feats)
+    logps = replay_beam_logps(dm, replay_feats, seq, rng, opt)
     return seq, logps, done
 
 

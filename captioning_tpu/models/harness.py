@@ -71,6 +71,8 @@ class ModelConfig:
     out_res: int = 0
     # show_tell
     rnn_type: str = 'lstm'
+    # TPU kernels
+    use_pallas: int = 0
     dtype: Any = jnp.float32
 
 
@@ -110,6 +112,7 @@ def config_from_opt(opt, vocab_size: int) -> ModelConfig:
         decoder_type=g('decoder_type', 'AoA'),
         out_res=g('out_res', 0),
         rnn_type=g('rnn_type', 'lstm'),
+        use_pallas=int(g('use_pallas', 0) or 0),
         dtype=dtype,
     )
 
@@ -168,15 +171,36 @@ class TorchLSTMCell(nn.Module):
 
 
 class AttentionHead(nn.Module):
-    """Additive attention head (reference AttModel.py:719-748)."""
+    """Additive attention head (reference AttModel.py:719-748).
+
+    With use_pallas the tanh+score+softmax+weighted-sum chain runs as one
+    fused VMEM kernel (ops/attention.py); the h2att projection stays an
+    MXU matmul either way.
+    """
     rnn_size: int
     att_hid_size: int
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h, att_feats, p_att_feats, att_masks):
         h2att = Dense(self.att_hid_size, dtype=self.dtype, name='h2att')
         alpha_net = Dense(1, dtype=self.dtype, name='alpha_net')
+        if self.use_pallas:
+            from ..ops.attention import additive_attention_fused, auto_interpret
+            att_h = h2att(h)
+            # materialize alpha_net params (same tree as the jnp path, so
+            # checkpoints are interchangeable across use_pallas settings)
+            _ = alpha_net(jnp.zeros((1, self.att_hid_size), self.dtype))
+            p = alpha_net.variables['params']
+            w_alpha = p['kernel'][:, 0]
+            b_alpha = p['bias'][0]
+            mask = att_masks if att_masks is not None else \
+                jnp.ones(att_feats.shape[:2], self.dtype)
+            return additive_attention_fused(
+                att_h, att_feats, p_att_feats, mask,
+                w_alpha.astype(self.dtype), b_alpha.astype(self.dtype),
+                8, auto_interpret())
         return additive_attention(h, att_feats, p_att_feats, att_masks,
                                   h2att, alpha_net)
 
@@ -192,7 +216,7 @@ class Att2in2Core(nn.Module):
         H = cfg.rnn_size
         h_prev = state['h'][:, -1]
         c_prev = state['c'][:, -1]
-        att_res = AttentionHead(H, cfg.att_hid_size, cfg.dtype, name='attention')(
+        att_res = AttentionHead(H, cfg.att_hid_size, cfg.dtype, bool(cfg.use_pallas), name='attention')(
             h_prev, feats['att_feats'], feats['p_att_feats'], feats['att_masks'])
         s = Dense(5 * H, dtype=cfg.dtype, name='i2h')(xt) + \
             Dense(5 * H, dtype=cfg.dtype, name='h2h')(h_prev)
@@ -220,7 +244,7 @@ class Att2all2Core(nn.Module):
         H = cfg.rnn_size
         h_prev = state['h'][:, -1]
         c_prev = state['c'][:, -1]
-        att_res = AttentionHead(H, cfg.att_hid_size, cfg.dtype, name='attention')(
+        att_res = AttentionHead(H, cfg.att_hid_size, cfg.dtype, bool(cfg.use_pallas), name='attention')(
             h_prev, feats['att_feats'], feats['p_att_feats'], feats['att_masks'])
         s = Dense(5 * H, dtype=cfg.dtype, name='i2h')(xt) + \
             Dense(5 * H, dtype=cfg.dtype, name='h2h')(h_prev) + \
@@ -248,7 +272,7 @@ class UpDownCore(nn.Module):
         h_att, c_att = TorchLSTMCell(cfg.rnn_size, cfg.dtype, name='att_lstm')(
             att_in, state['h'][:, 0], state['c'][:, 0])
         att = AttentionHead(cfg.rnn_size, cfg.att_hid_size, cfg.dtype,
-                            name='attention')(
+                            bool(cfg.use_pallas), name='attention')(
             h_att, feats['att_feats'], feats['p_att_feats'], feats['att_masks'])
         lang_in = jnp.concatenate([att, h_att], axis=1)
         h_lang, c_lang = TorchLSTMCell(cfg.rnn_size, cfg.dtype, name='lang_lstm')(
@@ -270,8 +294,8 @@ class StackAttCore(nn.Module):
     def __call__(self, xt, feats, state, train: bool):
         cfg = self.cfg
         H = cfg.rnn_size
-        att1 = AttentionHead(H, cfg.att_hid_size, cfg.dtype, name='att1')
-        att2 = AttentionHead(H, cfg.att_hid_size, cfg.dtype, name='att2')
+        att1 = AttentionHead(H, cfg.att_hid_size, cfg.dtype, bool(cfg.use_pallas), name='att1')
+        att2 = AttentionHead(H, cfg.att_hid_size, cfg.dtype, bool(cfg.use_pallas), name='att2')
 
         h0_out, h0, c0 = MaxoutLSTMCell(H, cfg.drop_prob_lm, cfg.dtype,
                                         name='lstm0')(
