@@ -41,9 +41,17 @@ class Captioner:
         elif cfg.caption_model == 'aoa':
             from .aoa import AoACaptioner
             self.module = AoACaptioner(cfg)
+        elif cfg.caption_model == 'bert':
+            from .bert_cap import BertCaptioner
+            self.module = BertCaptioner(cfg)
+        elif cfg.caption_model == 'm2transformer':
+            from .m2 import M2Captioner
+            self.module = M2Captioner(cfg)
         else:
             self.module = AttCaptioner(cfg)
-        self.is_transformer = cfg.caption_model == 'transformer'
+        # transformer-family models own a parallel teacher-forcing path
+        self.is_transformer = cfg.caption_model in (
+            'transformer', 'bert', 'm2transformer')
         self._jit_cache: Dict[Any, Any] = {}
 
     # -- params ------------------------------------------------------------
@@ -107,7 +115,7 @@ class Captioner:
         if self.is_transformer:
             out = self.module.apply(
                 variables, fc_feats, att_feats, seq, att_masks, train,
-                method=TransformerCaptioner.forward_tf,
+                method=type(self.module).forward_tf,
                 rngs={'dropout': rng} if train else None,
                 mutable=['batch_stats'] if train else False)
             return out[0] if train else out
@@ -201,7 +209,8 @@ def setup(opt, vocab: Optional[Dict[str, str]] = None) -> Captioner:
     """Model factory (reference models/__init__.py:20-73)."""
     supported = ('fc', 'language_model', 'newfc', 'show_tell', 'att2in',
                  'att2in2', 'att2all2', 'adaatt', 'adaattmo', 'topdown',
-                 'updown', 'stackatt', 'denseatt', 'transformer', 'aoa')
+                 'updown', 'stackatt', 'denseatt', 'transformer', 'aoa',
+                 'bert', 'm2transformer')
     if opt.caption_model not in supported:
         raise Exception("Caption model not supported: {}".format(
             opt.caption_model))

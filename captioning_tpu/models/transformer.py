@@ -218,15 +218,17 @@ class TransformerCaptioner(nn.Module):
                 'att_masks': att_masks}
 
     def init_state(self, batch_size: int):
+        # per-layer cache entries: each step updates one small tensor
+        # in place instead of copying an [B, N_dec, ...] monolith
         cfg = self.cfg
         T = cfg.seq_length + 1  # bos + seq_length steps
         h = cfg.num_att_heads
         dk = cfg.d_model // h
-        return {
-            't': jnp.zeros((batch_size,), jnp.int32),
-            'k': jnp.zeros((batch_size, cfg.N_dec, h, T, dk), cfg.dtype),
-            'v': jnp.zeros((batch_size, cfg.N_dec, h, T, dk), cfg.dtype),
-        }
+        state = {'t': jnp.zeros((batch_size,), jnp.int32)}
+        for i in range(cfg.N_dec):
+            state['k%d' % i] = jnp.zeros((batch_size, h, T, dk), cfg.dtype)
+            state['v%d' % i] = jnp.zeros((batch_size, h, T, dk), cfg.dtype)
+        return state
 
     def step(self, it, feats, state, train: bool = False,
              logsoftmax: bool = True):
@@ -234,10 +236,10 @@ class TransformerCaptioner(nn.Module):
         cfg = self.cfg
         h = cfg.num_att_heads
         t = state['t'][0]  # uniform across batch within a scan step
-        T = state['k'].shape[-2]
+        T = state['k0'].shape[-2]
         x = self._embed_tokens(it[:, None], t, train)
 
-        new_k, new_v = state['k'], state['v']
+        new_state = dict(state, t=state['t'] + 1)
         # positions 0..t are valid after this step's write
         pos_ids = jnp.arange(T)
         self_mask = (pos_ids <= t)[None, None, None, :]  # [1,1,1,T]
@@ -252,11 +254,11 @@ class TransformerCaptioner(nn.Module):
             k_new = _split_heads(proj.wk(y), h)       # [B, h, 1, dk]
             v_new = _split_heads(proj.wv(y), h)
             k_cache = jax.lax.dynamic_update_slice_in_dim(
-                new_k[:, i], k_new, t, axis=-2)
+                state['k%d' % i], k_new, t, axis=-2)
             v_cache = jax.lax.dynamic_update_slice_in_dim(
-                new_v[:, i], v_new, t, axis=-2)
-            new_k = new_k.at[:, i].set(k_cache)
-            new_v = new_v.at[:, i].set(v_cache)
+                state['v%d' % i], v_new, t, axis=-2)
+            new_state['k%d' % i] = k_cache
+            new_state['v%d' % i] = v_cache
             y = proj.wo(_merge_heads(_attend(q, k_cache, v_cache, self_mask,
                                              self._attn_dropout(train))))
             x = x + self._dropout(y, cfg.dropout, train)
@@ -274,7 +276,7 @@ class TransformerCaptioner(nn.Module):
 
         x = self.dec_final_norm(x)[:, 0]
         logits = self.generator(x).astype(jnp.float32)
-        state = dict(state, t=state['t'] + 1, k=new_k, v=new_v)
+        state = new_state
         if logsoftmax:
             return jax.nn.log_softmax(logits, axis=-1), state
         return logits, state

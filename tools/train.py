@@ -38,15 +38,47 @@ except Exception:  # tensorboard optional
     SummaryWriter = None
 
 
-def _to_jnp(batch):
+def _to_jnp(batch, mesh=None):
     import jax.numpy as jnp
-    fc = jnp.asarray(batch['fc_feats'])
-    att = jnp.asarray(batch['att_feats'])
-    am = (jnp.asarray(batch['att_masks'])
-          if batch['att_masks'] is not None else None)
-    labels = jnp.asarray(batch['labels'])
-    masks = jnp.asarray(batch['masks'])
-    return fc, att, am, labels, masks
+    arrays = {
+        'fc': batch['fc_feats'], 'att': batch['att_feats'],
+        'am': batch['att_masks'], 'labels': batch['labels'],
+        'masks': batch['masks'],
+    }
+    if mesh is not None:
+        from captioning_tpu.parallel.mesh import shard_batch
+        arrays = shard_batch(arrays, mesh)
+    else:
+        arrays = {k: (jnp.asarray(v) if v is not None else None)
+                  for k, v in arrays.items()}
+    return (arrays['fc'], arrays['att'], arrays['am'], arrays['labels'],
+            arrays['masks'])
+
+
+def _maybe_mesh(opt):
+    """Device mesh for multi-chip training (replaces the reference's
+    DataParallel/DDP, train.py:86-88 / train_pl.py:479).
+
+    Without an explicit --mesh_shape, uses the largest data axis that
+    divides the batch size (no mesh for a single device)."""
+    import jax
+    mesh_shape = getattr(opt, 'mesh_shape', '') or ''
+    n_dev = len(jax.devices())
+    if not mesh_shape:
+        if n_dev == 1:
+            return None
+        d = n_dev
+        while d > 1 and opt.batch_size % d != 0:
+            d -= 1
+        if d == 1:
+            print('warning: batch_size %d not divisible across %d devices; '
+                  'training single-device' % (opt.batch_size, n_dev))
+            return None
+        mesh_shape = 'data:%d' % d
+    from captioning_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(mesh_shape)
+    print('training on mesh', dict(mesh.shape))
+    return mesh
 
 
 def train(opt):
@@ -118,6 +150,13 @@ def train(opt):
 
     trainer = Trainer(captioner, opt, old_variables=old_variables)
 
+    mesh = _maybe_mesh(opt)
+    if mesh is not None:
+        from captioning_tpu.parallel.mesh import shard_variables
+        variables = shard_variables(variables, mesh)
+        if old_variables is not None:
+            old_variables = shard_variables(old_variables, mesh)
+
     ##########################
     # Build optimizer
     ##########################
@@ -125,6 +164,9 @@ def train(opt):
         assert opt.caption_model in ['transformer', 'bert', 'm2transformer'], \
             'noamopt can only work with transformer'
     opt_state = trainer.init_opt_state(variables)
+    if mesh is not None:
+        from captioning_tpu.parallel.mesh import shard_variables
+        opt_state = shard_variables(opt_state, mesh)
     if opt.start_from is not None and os.path.isfile(
             os.path.join(opt.start_from, 'optimizer.npz')):
         loaded = utils.load_pytree(os.path.join(opt.start_from,
@@ -220,7 +262,7 @@ def train(opt):
             print('Read data:', time.time() - start)
 
             start = time.time()
-            fc, att, am, labels, masks = _to_jnp(data)
+            fc, att, am, labels, masks = _to_jnp(data, mesh)
             rng, step_rng = jax.random.split(rng)
 
             out = {}
