@@ -237,6 +237,14 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
         if num_images >= 0 and n >= num_images:
             break
 
+    # multi-host: gather per-process predictions on every host (replaces
+    # the reference's d2comm.gather, train_pl.py:224-276)
+    import jax as _jax
+    if _jax.process_count() > 1:
+        from ..parallel.mesh import gather_predictions
+        predictions = gather_predictions(predictions)
+        n_predictions = gather_predictions(n_predictions)
+
     lang_stats = None
     if len(n_predictions) > 0 and 'perplexity' in n_predictions[0]:
         n_predictions = sorted(n_predictions, key=lambda x: x['perplexity'])

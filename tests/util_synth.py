@@ -86,12 +86,30 @@ def build_synthetic_dataset(root, n_images=20, vocab_size=30, seq_length=6,
         pickle.dump({'document_frequency': dict(df), 'ref_len': n_refs}, f,
                     protocol=2)
 
+    # coco-caption-style annotation json (what prepro_reference_json emits)
+    ann = {'images': [], 'annotations': [], 'type': 'captions',
+           'info': {}, 'licenses': []}
+    cnt = 0
+    for i, img in enumerate(images):
+        if img['split'] == 'train':
+            continue
+        ann['images'].append({'id': img['id']})
+        for j in range(start_ix[i] - 1, end_ix[i]):
+            toks = ['w%d' % t for t in caps_np[j] if t > 0]
+            ann['annotations'].append({'image_id': img['id'],
+                                       'caption': ' '.join(toks),
+                                       'id': cnt})
+            cnt += 1
+    ann_json = os.path.join(root, 'annotations.json')
+    json.dump(ann, open(ann_json, 'w'))
+
     return SimpleNamespace(
         input_json=input_json, input_label_h5=label_h5,
         input_fc_dir=fc_dir, input_att_dir=att_dir,
         input_box_dir=os.path.join(root, 'feats_box'),
         cached_tokens=ngram_pkl, vocab_size=vocab_size,
-        seq_length=seq_length, fc_dim=fc_dim, att_dim=att_dim)
+        seq_length=seq_length, fc_dim=fc_dim, att_dim=att_dim,
+        annotations=ann_json)
 
 
 def make_opt(ds, model='newfc', **kw):
