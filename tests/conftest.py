@@ -13,3 +13,10 @@ os.environ['JAX_PLATFORM_NAME'] = 'cpu'
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+import sys as _sys
+
+# tests import `tools.*` and chdir into tmp dirs; pin the repo root
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)

@@ -1,0 +1,162 @@
+"""Extended benchmark suite (bench.py is the driver's one-line headline).
+
+Measures, on synthetic COCO-shaped data:
+  * beam-5 / greedy decode throughput for transformer and updown
+  * XE training step throughput (batch 10x5 reference config and batch 128)
+  * SCST iteration rate (decode + native CIDEr-D reward + grad step)
+
+Usage: python tools/bench_suite.py [--batch 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from types import SimpleNamespace
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+
+V = 9487
+
+
+def transformer_opt():
+    return SimpleNamespace(
+        caption_model='transformer', vocab_size=V, input_encoding_size=512,
+        rnn_size=2048, num_layers=6, drop_prob_lm=0.5, fc_feat_size=2048,
+        att_feat_size=2048, att_hid_size=512, seq_per_img=5, max_length=20,
+        compute_dtype='bfloat16', N_enc=6, N_dec=6, d_model=512, d_ff=2048,
+        num_att_heads=8, dropout=0.1,
+        optim='adam', optim_alpha=0.9, optim_beta=0.999, optim_epsilon=1e-8,
+        weight_decay=0, grad_clip_mode='value', grad_clip_value=0.1,
+        label_smoothing=0, noamopt=False, drop_worst_rate=0,
+        train_sample_n=5, train_sample_method='sample', train_beam_size=1,
+        sc_sample_method='greedy', sc_beam_size=1, structure_loss_type='new_self_critical',
+        structure_loss_weight=1, struc_use_logsoftmax=False, use_ppo=0,
+        cider_reward_weight=1, bleu_reward_weight=0)
+
+
+def updown_opt():
+    o = transformer_opt()
+    o.caption_model = 'updown'
+    o.rnn_size = 1000
+    o.input_encoding_size = 1000
+    o.att_hid_size = 512
+    return o
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from captioning_tpu.models import setup
+    from captioning_tpu.modules.trainer import Trainer
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--batch', type=int, default=256)
+    parser.add_argument('--iters', type=int, default=5)
+    args = parser.parse_args()
+    B, iters = args.batch, args.iters
+    rng = np.random.RandomState(0)
+    vocab = {str(i): 'w%d' % i for i in range(1, V + 1)}
+
+    def data(B):
+        return (jnp.asarray(rng.randn(B, 2048).astype('float32')),
+                jnp.asarray(rng.randn(B, 36, 2048).astype('float32')),
+                jnp.ones((B, 36), jnp.float32))
+
+    for name, opt in (('transformer', transformer_opt()),
+                      ('updown', updown_opt())):
+        cap = setup(opt, vocab)
+        variables = cap.init_params(jax.random.PRNGKey(0), att_len=36)
+        fc, att, am = data(B)
+
+        bo = {'beam_size': 5, 'sample_n': 1, 'group_size': 1,
+              'suppress_UNK': 1}
+        s, _, _ = cap.sample_beam_jit(variables, fc, att, am,
+                                      jax.random.PRNGKey(1), bo)
+        np.asarray(s)
+        t0 = time.time()
+        for i in range(iters):
+            s, _, _ = cap.sample_beam_jit(variables, fc, att, am,
+                                          jax.random.PRNGKey(i), bo)
+            np.asarray(s)
+        dt = (time.time() - t0) / iters
+        print('%s beam5  B=%d: %.3fs -> %.1f captions/s' % (name, B, dt,
+                                                            B / dt))
+
+        s, _ = cap.sample_jit(variables, fc, att, am, jax.random.PRNGKey(1),
+                              {'sample_method': 'greedy'})
+        np.asarray(s)
+        t0 = time.time()
+        for i in range(iters):
+            s, _ = cap.sample_jit(variables, fc, att, am,
+                                  jax.random.PRNGKey(i),
+                                  {'sample_method': 'greedy'})
+            np.asarray(s)
+        dt = (time.time() - t0) / iters
+        print('%s greedy B=%d: %.3fs -> %.1f captions/s' % (name, B, dt,
+                                                            B / dt))
+
+        # XE training step
+        trainer = Trainer(cap, opt)
+        opt_state = trainer.init_opt_state(variables)
+        for xb in (10, 128):
+            fcx, attx, amx = data(xb)
+            labels = jnp.asarray(rng.randint(0, V, (xb, 5, 18)), jnp.int32)
+            masks = jnp.ones((xb, 5, 18), jnp.float32)
+            v, os_, out = trainer.xe_step(variables, opt_state, fcx, attx,
+                                          labels, masks, amx, 4e-4, 0.0,
+                                          jax.random.PRNGKey(0))
+            float(out['loss'])
+            t0 = time.time()
+            n = max(iters, 5)
+            for i in range(n):
+                v, os_, out = trainer.xe_step(v, os_, fcx, attx, labels,
+                                              masks, amx, 4e-4, 0.0,
+                                              jax.random.PRNGKey(i))
+            float(out['loss'])
+            dt = (time.time() - t0) / n
+            print('%s XE step B=%dx5: %.3fs -> %.1f images/s' %
+                  (name, xb, dt, xb / dt))
+            variables, opt_state = v, os_
+
+        # SCST iteration (decode + reward + grad)
+        try:
+            from captioning_tpu.utils.cider_native import (
+                NativeCiderD, native_self_critical_reward)
+            df = {('1',): 2.0, ('2',): 1.0}
+            nat = NativeCiderD(df, ref_len=100.0)
+        except Exception:
+            nat = None
+        scb = 50
+        fcs, atts, ams = data(scb)
+        gts = [rng.randint(1, V, (5, 16)) for _ in range(scb)]
+        for g in gts:
+            g[:, -1] = 0
+        greedy, gen = trainer.sc_decode(variables, fcs, atts, ams,
+                                        jax.random.PRNGKey(0),
+                                        jax.random.PRNGKey(1))
+        np.asarray(gen)
+        t0 = time.time()
+        for i in range(iters):
+            r1, r2 = jax.random.split(jax.random.PRNGKey(i))
+            greedy, gen = trainer.sc_decode(variables, fcs, atts, ams, r1, r2)
+            if nat is not None:
+                reward = native_self_critical_reward(
+                    nat, np.asarray(greedy), gts, np.asarray(gen))
+            else:
+                reward = np.zeros((gen.shape[0], gen.shape[1]), np.float32)
+            variables, opt_state, out = trainer.sc_grad_step(
+                variables, opt_state, fcs, atts, ams, gen,
+                jnp.asarray(reward), 1e-5, r2)
+            float(out['loss'])
+        dt = (time.time() - t0) / iters
+        print('%s SCST iter B=%dx%d samples: %.3fs -> %.2f iters/s' %
+              (name, scb, opt.train_sample_n, dt, 1 / dt))
+
+
+if __name__ == '__main__':
+    main()
