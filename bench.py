@@ -15,6 +15,7 @@ contemporary GPU: COCO 5k test in ~5-6 min).
 from __future__ import annotations
 
 import json
+import os
 import time
 from types import SimpleNamespace
 
@@ -25,6 +26,12 @@ REFERENCE_CAPTIONS_PER_SEC = 15.0  # estimated torch single-GPU baseline
 
 def main():
     import jax
+    # persistent compile cache: the beam-search program is large; cache it
+    # across bench invocations
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
     import jax.numpy as jnp
     from captioning_tpu.models import setup
 

@@ -17,7 +17,9 @@ from types import SimpleNamespace
 import numpy as np
 import pytest
 
-sys.path.insert(0, '/root/reference')
+# append (not insert) so the reference's `tools/` package cannot shadow
+# this repo's tools/ for tests that run later in the session
+sys.path.append('/root/reference')
 
 torch = pytest.importorskip('torch')
 
