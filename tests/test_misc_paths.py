@@ -1,0 +1,145 @@
+"""Coverage for remaining paths: ensemble, trigram blocking, checkpoint
+round trip, gumbel/nucleus sampling, decode_sequence."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from captioning_tpu.engine import decoding
+from tests.test_decoding import make_mock_model, np_logprobs
+
+
+def _mini_captioner(seed=0):
+    from types import SimpleNamespace
+    from captioning_tpu.models import setup
+    opt = SimpleNamespace(caption_model='att2in2', vocab_size=15,
+                          input_encoding_size=12, rnn_size=16, num_layers=1,
+                          drop_prob_lm=0.5, fc_feat_size=8, att_feat_size=10,
+                          att_hid_size=8, seq_per_img=2, max_length=6,
+                          compute_dtype='float32')
+    vocab = {str(i): 'w%d' % i for i in range(1, 16)}
+    cap = setup(opt, vocab)
+    variables = cap.init_params(jax.random.PRNGKey(seed), att_len=4)
+    return cap, variables
+
+
+def test_ensemble_of_identical_models_matches_single():
+    from captioning_tpu.models.ensemble import EnsembleCaptioner
+    cap, variables = _mini_captioner()
+    ens = EnsembleCaptioner([cap, cap], weights=[1.0, 1.0])
+    B = 3
+    fc = jnp.ones((B, 8))
+    att = jnp.asarray(np.random.RandomState(0).randn(B, 4, 10), jnp.float32)
+    am = jnp.ones((B, 4))
+    s1, _ = cap.sample_jit(variables, fc, att, am, jax.random.PRNGKey(1),
+                           {'sample_method': 'greedy'})
+    s2, _ = ens.sample_jit([variables, variables], fc, att, am,
+                           jax.random.PRNGKey(1), {'sample_method': 'greedy'})
+    assert (np.asarray(s1) == np.asarray(s2)).all()
+
+
+def test_ensemble_averages_probabilities():
+    from captioning_tpu.models.ensemble import EnsembleCaptioner
+    cap, v1 = _mini_captioner(0)
+    _, v2 = _mini_captioner(1)
+    ens = EnsembleCaptioner([cap, cap], weights=[1.0, 3.0])
+    B = 2
+    fc = jnp.ones((B, 8))
+    att = jnp.ones((B, 4, 10))
+    am = jnp.ones((B, 4))
+    dm = ens.bind([v1, v2], train=False)
+    feats = dm.prepare(fc, att, am, None)
+    state = dm.init_state(B)
+    lp, _ = dm.step(jnp.zeros((B,), jnp.int32), feats, state, None)
+    # manual mixture
+    d1 = cap.bind(v1, False)
+    d2 = cap.bind(v2, False)
+    l1, _ = d1.step(jnp.zeros((B,), jnp.int32), d1.prepare(fc, att, am, None),
+                    d1.init_state(B), None)
+    l2, _ = d2.step(jnp.zeros((B,), jnp.int32), d2.prepare(fc, att, am, None),
+                    d2.init_state(B), None)
+    mix = np.log(0.25 * np.exp(np.asarray(l1)) + 0.75 * np.exp(np.asarray(l2)))
+    assert np.allclose(np.asarray(lp), mix, atol=1e-5)
+
+
+def test_trigram_blocking_penalizes_repeats():
+    dm, table, W = make_mock_model(seed=3)
+    fc = np.zeros((2, 4), np.float32)
+    # unconstrained greedy tends to loop on the mock; blocking must reduce
+    # the count of repeated trigrams
+    s_plain, _ = decoding.sample(dm, jnp.asarray(fc), None, None,
+                                 jax.random.PRNGKey(0),
+                                 {'sample_method': 'greedy'})
+    s_block, _ = decoding.sample(dm, jnp.asarray(fc), None, None,
+                                 jax.random.PRNGKey(0),
+                                 {'sample_method': 'greedy',
+                                  'block_trigrams': 1})
+
+    def n_repeated_trigrams(row):
+        tris = [tuple(row[i:i + 3]) for i in range(len(row) - 2)]
+        return len(tris) - len(set(tris))
+
+    plain = sum(n_repeated_trigrams(list(r)) for r in np.asarray(s_plain))
+    blocked = sum(n_repeated_trigrams(list(r)) for r in np.asarray(s_block))
+    assert blocked <= plain
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from captioning_tpu.utils.misc import save_pytree, load_pytree
+    tree = {'params': {'a': np.arange(6).reshape(2, 3).astype('float32'),
+                       'nested': {'b': np.ones(4)}},
+            'extra': [np.zeros(2), np.ones(3)],
+            'none_leaf': None}
+    p = str(tmp_path / 'ck.npz')
+    save_pytree(tree, p)
+    back = load_pytree(p)
+    assert back['none_leaf'] is None
+    assert np.allclose(back['params']['a'], tree['params']['a'])
+    assert np.allclose(back['extra'][1], tree['extra'][1])
+    assert isinstance(back['extra'], list)
+
+
+def test_gumbel_and_nucleus_sampling_valid():
+    dm, table, W = make_mock_model(seed=4)
+    fc = np.random.RandomState(0).randn(4, 4).astype('float32')
+    for method in ('gumbel', 'top0.7', 'sample'):
+        seq, lp = decoding.sample(dm, jnp.asarray(fc), None, None,
+                                  jax.random.PRNGKey(2),
+                                  {'sample_method': method,
+                                   'temperature': 0.9})
+        s = np.asarray(seq)
+        assert s.shape == (4, dm.seq_length)
+        assert (s >= 0).all() and (s < dm.vocab_plus).all()
+    # nucleus restricts to the top-p mass of each conditional
+    seq, _ = decoding.sample(dm, jnp.asarray(fc), None, None,
+                             jax.random.PRNGKey(3),
+                             {'sample_method': 'top0.5', 'temperature': 1.0})
+    s = np.asarray(seq)
+    it = np.zeros(4, np.int64)
+    unfinished = np.ones(4, bool)
+    for t in range(dm.seq_length):
+        logprobs = np_logprobs(table, W, fc, it)
+        probs = np.exp(logprobs)
+        order = np.argsort(-probs, axis=1)
+        for b in range(4):
+            if not unfinished[b]:
+                continue
+            csum = np.cumsum(probs[b][order[b]])
+            keep = set(order[b][:max(1, int((csum < 0.5).sum()) + 1)])
+            assert s[b, t] in keep
+        it = s[:, t].copy()
+        unfinished = unfinished & (it != 0)
+        if not unfinished.any():
+            break
+
+
+def test_decode_sequence_bpe_and_stop():
+    from captioning_tpu.utils.misc import decode_sequence
+    vocab = {'1': 'a@@', '2': 'cat', '3': 'dog'}
+    seqs = np.array([[1, 2, 0, 3], [3, 0, 0, 0]])
+    out = decode_sequence(vocab, seqs)
+    assert out[0] == 'acat'  # BPE joiner stripped, stops at 0
+    assert out[1] == 'dog'

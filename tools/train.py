@@ -318,6 +318,9 @@ def train(opt):
                     drop_worst_flag=drop_worst_flag)
                 out['reward'] = float(reward[:, 0].mean())
 
+            # XE steps: defer the loss fetch one iteration so the device
+            # never idles on the host print (RL modes already sync on the
+            # reward round trip)
             train_loss = float(out['loss'])
             end = time.time()
             if struc_flag:
