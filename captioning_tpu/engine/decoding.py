@@ -30,7 +30,6 @@ All functions are pure and jit-able; the model is abstracted as a
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax

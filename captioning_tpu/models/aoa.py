@@ -9,13 +9,13 @@ refined features replace fc (:207-226).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .harness import ModelConfig, TorchLSTMCell, _uniform_init
+from .harness import ModelConfig, TorchLSTMCell
 from .layers import Dense, Dropout, Embedding, MaskedBatchNorm, MLPEmbed
 from .transformer import RefLayerNorm, _attend, _merge_heads, _split_heads
 

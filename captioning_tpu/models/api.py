@@ -13,7 +13,6 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..engine.decoding import DecodeModel, repeat_tree
 from .harness import AttCaptioner, BAD_ENDINGS, ModelConfig, config_from_opt

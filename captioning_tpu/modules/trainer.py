@@ -15,13 +15,10 @@ as phase A (bit-identical activations under dropout, see
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..engine import decoding

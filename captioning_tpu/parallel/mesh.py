@@ -19,7 +19,6 @@ gather for language_eval uses ``multihost_utils.process_allgather``.
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ from __future__ import annotations
 import math
 import pickle
 from collections import defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

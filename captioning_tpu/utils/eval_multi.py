@@ -10,7 +10,6 @@ every other metric is native).
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np

@@ -9,10 +9,6 @@ a traced ``lr`` scalar — one compiled graph across all schedules.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
-import jax
-import jax.numpy as jnp
 import optax
 
 
