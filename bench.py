@@ -48,7 +48,7 @@ def main():
     captioner = setup(opt, vocab)
     variables = captioner.init_params(jax.random.PRNGKey(0), att_len=36)
 
-    B = 64
+    B = 256
     rng = np.random.RandomState(0)
     fc = jnp.asarray(rng.randn(B, 2048).astype('float32'))
     att = jnp.asarray(rng.randn(B, 36, 2048).astype('float32'))

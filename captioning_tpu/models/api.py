@@ -99,17 +99,22 @@ class Captioner:
 
     # -- teacher forcing -------------------------------------------------------
     def forward_tf(self, variables, fc_feats, att_feats, seq, att_masks,
-                   ss_prob: float = 0.0, rng=None, train: bool = False):
+                   ss_prob: float = 0.0, rng=None, train: bool = False,
+                   return_new_vars: bool = False):
         """Teacher-forced logprobs [N, T, V+1] over seq (input tokens).
 
         ``seq`` is labels[..., :-1] per the reference call
         (loss_wrapper.py:55).  Scheduled sampling follows
         AttModel.py:145-154: from step 1 on, each row independently feeds
         the model a sample from its previous output with prob ss_prob.
+
+        With return_new_vars (train only), also returns variables with
+        updated batch_stats so use_bn running statistics accumulate.
         """
         if seq.ndim == 3:
             seq = seq.reshape(-1, seq.shape[2])
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        has_stats = 'batch_stats' in variables
 
         if self.is_transformer:
             out = self.module.apply(
@@ -117,7 +122,15 @@ class Captioner:
                 method=type(self.module).forward_tf,
                 rngs={'dropout': rng} if train else None,
                 mutable=['batch_stats'] if train else False)
-            return out[0] if train else out
+            if train:
+                logprobs, updated = out
+            else:
+                logprobs, updated = out, {}
+            if return_new_vars:
+                new_vars = dict(variables, **updated) if (
+                    train and has_stats) else variables
+                return logprobs, new_vars
+            return logprobs
 
         cfg = self.cfg
         B = fc_feats.shape[0]
@@ -125,7 +138,17 @@ class Captioner:
         seq_per_img = N // B
         rng, prep_rng = jax.random.split(rng)
         dm = self.bind(variables, train)
-        feats = dm.prepare(fc_feats, att_feats, att_masks, prep_rng)
+        # BN lives only in the feature prepare; capture its stats update
+        new_vars = variables
+        if train and has_stats:
+            feats_and_stats = self.module.apply(
+                variables, fc_feats, att_feats, att_masks, train,
+                method=type(self.module).prepare_feature,
+                rngs={'dropout': prep_rng}, mutable=['batch_stats'])
+            feats, updated = feats_and_stats
+            new_vars = dict(variables, **updated)
+        else:
+            feats = dm.prepare(fc_feats, att_feats, att_masks, prep_rng)
         feats = repeat_tree(seq_per_img, feats)
         state0 = dm.init_state(N)
 
@@ -151,7 +174,10 @@ class Captioner:
         (_, _, _), outputs = jax.lax.scan(
             body, (state0, zeros_lp, jnp.int32(0)),
             (seq.T.astype(jnp.int32), step_rngs))
-        return jnp.swapaxes(outputs, 0, 1)
+        logprobs = jnp.swapaxes(outputs, 0, 1)
+        if return_new_vars:
+            return logprobs, new_vars
+        return logprobs
 
 
     # -- jitted entry points -------------------------------------------------

@@ -73,20 +73,26 @@ class Trainer:
             drop_worst_rate = float(getattr(self.opt, 'drop_worst_rate', 0))
 
             def loss_fn(variables, fc, att, labels, masks, am, ss_prob, rng):
-                logprobs = cap.forward_tf(variables, fc, att,
-                                          labels[..., :-1], am, ss_prob,
-                                          rng, train=True)
+                logprobs, new_vars = cap.forward_tf(
+                    variables, fc, att, labels[..., :-1], am, ss_prob,
+                    rng, train=True, return_new_vars=True)
                 reduction = 'none' if drop_worst_flag else 'mean'
                 loss = self._crit(logprobs, labels[..., 1:], masks[..., 1:],
                                   reduction)
                 if drop_worst_flag:
                     loss = self._drop_worst(loss, drop_worst_rate)
-                return loss
+                return loss, new_vars
 
             def step(variables, opt_state, fc, att, labels, masks, am,
                      lr, ss_prob, rng):
-                loss, grads = jax.value_and_grad(loss_fn)(
+                (loss, new_vars), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
                     variables, fc, att, labels, masks, am, ss_prob, rng)
+                # carry updated batch_stats (use_bn running statistics)
+                if 'batch_stats' in new_vars:
+                    variables = dict(variables,
+                                     batch_stats=jax.lax.stop_gradient(
+                                         new_vars['batch_stats']))
                 variables, opt_state = self._apply_updates(
                     variables, opt_state, grads['params'], lr)
                 return variables, opt_state, {'loss': loss}

@@ -143,3 +143,36 @@ def test_decode_sequence_bpe_and_stop():
     out = decode_sequence(vocab, seqs)
     assert out[0] == 'acat'  # BPE joiner stripped, stops at 0
     assert out[1] == 'dog'
+
+
+def test_batchnorm_stats_update_in_xe_step():
+    """use_bn running statistics must accumulate during training
+    (reference att_embed BatchNorm1d, AttModel.py:80-85)."""
+    from types import SimpleNamespace
+    from captioning_tpu.models import setup
+    from captioning_tpu.modules.trainer import Trainer
+    opt = SimpleNamespace(
+        caption_model='att2in2', vocab_size=15, input_encoding_size=12,
+        rnn_size=16, num_layers=1, drop_prob_lm=0.5, fc_feat_size=8,
+        att_feat_size=10, att_hid_size=8, seq_per_img=2, max_length=6,
+        compute_dtype='float32', use_bn=2,
+        optim='adam', optim_alpha=0.9, optim_beta=0.999, optim_epsilon=1e-8,
+        weight_decay=0, grad_clip_mode='value', grad_clip_value=0.1,
+        label_smoothing=0, noamopt=False, drop_worst_rate=0)
+    vocab = {str(i): 'w%d' % i for i in range(1, 16)}
+    cap = setup(opt, vocab)
+    variables = cap.init_params(jax.random.PRNGKey(0), att_len=4)
+    assert 'batch_stats' in variables
+    before = jax.tree.leaves(jax.device_get(variables['batch_stats']))
+    tr = Trainer(cap, opt)
+    os_ = tr.init_opt_state(variables)
+    B = 3
+    fc = jnp.ones((B, 8))
+    att = jnp.asarray(np.random.RandomState(0).randn(B, 4, 10), jnp.float32)
+    am = jnp.ones((B, 4))
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 15, (B, 2, 8)))
+    masks = jnp.ones((B, 2, 8))
+    v2, _, out = tr.xe_step(variables, os_, fc, att, labels, masks, am,
+                            1e-3, 0.0, jax.random.PRNGKey(1))
+    after = jax.tree.leaves(jax.device_get(v2['batch_stats']))
+    assert any(not np.allclose(a, b) for a, b in zip(before, after))

@@ -140,6 +140,12 @@ def main():
                                         jax.random.PRNGKey(0),
                                         jax.random.PRNGKey(1))
         np.asarray(gen)
+        # warm up the grad step compile outside the timed loop
+        variables, opt_state, out = trainer.sc_grad_step(
+            variables, opt_state, fcs, atts, ams, gen,
+            jnp.zeros((gen.shape[0], gen.shape[1]), jnp.float32), 1e-5,
+            jax.random.PRNGKey(1))
+        float(out['loss'])
         t0 = time.time()
         for i in range(iters):
             r1, r2 = jax.random.split(jax.random.PRNGKey(i))
