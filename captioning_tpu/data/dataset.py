@@ -293,6 +293,8 @@ class _SplitPipeline:
 
     def __init__(self, dataset: Dataset, sampler: MySampler, split: str,
                  batch_size: int, pool: ThreadPoolExecutor, depth: int = 4):
+        if sampler.wrap and len(sampler) == 0:
+            raise ValueError('split %r has no images' % split)
         self.dataset = dataset
         self.sampler = sampler
         self.split = split
