@@ -174,10 +174,13 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
         att = jnp.asarray(data['att_feats'])
         am = jnp.asarray(data['att_masks']) if data['att_masks'] is not None \
             else None
-        labels = jnp.asarray(data['labels'])
-        masks = jnp.asarray(data['masks'])
+        # DataLoaderRaw has no ground truth (labels None)
+        labels = (jnp.asarray(data['labels'])
+                  if data.get('labels') is not None else None)
+        masks = (jnp.asarray(data['masks'])
+                 if data.get('masks') is not None else None)
 
-        if data.get('labels') is not None and verbose_loss:
+        if labels is not None and verbose_loss:
             logprobs = captioner.forward_tf_jit(
                 variables, fc, att, labels[..., :-1], am, 0.0, None, False)
             if label_smoothing > 0:
