@@ -162,6 +162,60 @@ class Trainer:
         return self._cache[key](variables, opt_state, fc, att, am, gen_seq,
                                 reward, jnp.float32(lr), rng)
 
+    def sc_fused_step(self, variables, opt_state, fc, att, am, refs,
+                      ref_mask, lr, rng_greedy, rng_sample,
+                      device_scorer):
+        """Fully-fused SCST iteration: greedy baseline + sampling + on-device
+        CIDEr-D reward (ops/cider_device.py) + policy gradient in ONE jitted
+        program — zero host synchronization inside the RL loop (the
+        host/device boundary SURVEY.md 5.8 calls out is gone entirely).
+
+        Gradients flow through the sampling scan's logprobs directly (the
+        same forward the tokens came from), exactly like the reference's
+        backprop through its sampling pass.
+        """
+        opt = self.opt
+        key = 'sc_fused'
+        if key not in self._cache:
+            cap = self.captioner
+            sc_opt = {'sample_method': opt.sc_sample_method,
+                      'beam_size': opt.sc_beam_size}
+            tr_opt = {'sample_method': opt.train_sample_method,
+                      'beam_size': opt.train_beam_size,
+                      'sample_n': opt.train_sample_n}
+            cider_w = float(opt.cider_reward_weight)
+
+            def loss_fn(variables, fc, att, am, refs, ref_mask,
+                        rng_greedy, rng_sample):
+                dm_eval = cap.bind(variables, train=False)
+                greedy_seq, _ = decoding.sample(
+                    dm_eval, fc, att, am, rng_greedy, sc_opt)
+                greedy_seq = jax.lax.stop_gradient(greedy_seq)
+                dm_train = cap.bind(variables, train=True)
+                gen_seq, gen_logprobs = decoding.sample(
+                    dm_train, fc, att, am, rng_sample, tr_opt)
+                reward = device_scorer.self_critical_reward(
+                    greedy_seq, gen_seq, refs, ref_mask, cider_w)
+                reward = jax.lax.stop_gradient(reward)
+                loss = losses.reward_criterion(gen_logprobs, gen_seq, reward)
+                return loss, reward[:, 0].mean()
+
+            def step(variables, opt_state, fc, att, am, refs, ref_mask,
+                     lr, rng_greedy, rng_sample):
+                (loss, avg_reward), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                    variables, fc, att, am, refs, ref_mask, rng_greedy,
+                    rng_sample)
+                variables, opt_state = self._apply_updates(
+                    variables, opt_state, grads['params'], lr)
+                return variables, opt_state, {'loss': loss,
+                                              'reward': avg_reward}
+
+            self._cache[key] = jax.jit(step, donate_argnums=(0, 1))
+        return self._cache[key](variables, opt_state, fc, att, am, refs,
+                                ref_mask, jnp.float32(lr), rng_greedy,
+                                rng_sample)
+
     # -- structure losses / PPO -----------------------------------------------
     def struc_decode(self, variables, fc, att, am, rng):
         """Phase A for structure losses (loss_wrapper.py:31-37)."""

@@ -72,7 +72,9 @@ def _attn_kernel(att_h_ref, att_ref, p_att_ref, mask_ref, w_ref, b_ref,
     weight = weight * mask
     weight = weight / jnp.maximum(
         jnp.sum(weight, axis=-1, keepdims=True), 1e-9)
-    out_ref[:] = jnp.einsum('bm,bmh->bh', weight.astype(att.dtype), att)
+    # batched-dot einsum does not lower in Mosaic; mul+reduce on the VPU
+    # (M is small: <= ~100 regions)
+    out_ref[:] = jnp.sum(att * weight[..., None].astype(att.dtype), axis=1)
 
 
 def _forward_pallas(att_h, att_feats, p_att_feats, att_masks, w_alpha,

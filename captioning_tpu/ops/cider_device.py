@@ -1,0 +1,227 @@
+"""On-device CIDEr-D: the SCST reward computed entirely in XLA.
+
+SURVEY.md section 5.8 calls the per-iteration CPU CIDEr-D scoring the main
+host-sync point of SCST training; the native C++ scorer already cut it to
+~8ms, and this module removes the round trip entirely so the whole SCST
+iteration (decode + reward + gradient) can be ONE jitted program.
+
+Exact CIDEr-D semantics (see utils/cider_scorer.py), reformulated over
+fixed-shape token matrices:
+
+* every n-gram (n=1..4) at position p of a sequence carries a 64-bit hash
+  (two independent 32-bit lanes); multiplicities and clipped tf-idf dot
+  products are computed with position-pairwise equality instead of hash
+  maps:  norm^2 = sum_i c_i * idf_i^2  and
+  dot = sum_i min(c_i, m_i) * m_i * idf_i^2 / c_i, where c_i / m_i are the
+  candidate/reference multiplicities of position i's n-gram.
+* document frequencies live in a device-resident sorted hash table probed
+  with searchsorted (+linear window for the second lane).
+* sequences terminate at (and include) the first 0 token (array_to_str,
+  reference rewards.py:33-39); length for the gaussian penalty is the
+  bigram count.
+
+Exact-match against the python scorer is covered by
+tests/test_cider_device.py (up to 64-bit hash collisions, the same
+assumption the C++ scorer makes).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_N = 4
+SIGMA = 6.0
+_M1 = np.uint32(1000003)
+_M2 = np.uint32(2654435761)
+_PROBE = 8  # linear probe window after searchsorted
+
+
+def _host_hash_ngram(tokens, lane: int) -> int:
+    m = int(_M1) if lane == 0 else int(_M2)
+    h = (len(tokens) * 2166136261 + (7 if lane else 3)) & 0xFFFFFFFF
+    for t in tokens:
+        h = (h * m + (int(t) + 1)) & 0xFFFFFFFF
+    return h
+
+
+class DeviceCiderD:
+    """df table + jittable scoring functions."""
+
+    def __init__(self, df_pkl_or_dict, ref_len=None):
+        if isinstance(df_pkl_or_dict, str):
+            path = (df_pkl_or_dict
+                    if df_pkl_or_dict.endswith(('.p', '.pkl'))
+                    else 'data/%s.p' % df_pkl_or_dict)
+            with open(path, 'rb') as f:
+                pkl = pickle.load(f, encoding='latin-1')
+            df = pkl['document_frequency']
+            ref_len = float(pkl['ref_len'])
+        else:
+            df = df_pkl_or_dict
+            assert ref_len is not None
+        self.log_ref_len = float(np.log(ref_len))
+
+        h1, h2, dfv = [], [], []
+        for ngram, d in df.items():
+            ids = [int(t) for t in ngram]
+            h1.append(_host_hash_ngram(ids, 0))
+            h2.append(_host_hash_ngram(ids, 1))
+            dfv.append(float(d))
+        h1 = np.asarray(h1, np.uint32)
+        h2 = np.asarray(h2, np.uint32)
+        dfv = np.asarray(dfv, np.float32)
+        order = np.argsort(h1, kind='stable')
+        self.table_h1 = jnp.asarray(h1[order])
+        self.table_h2 = jnp.asarray(h2[order])
+        self.table_df = jnp.asarray(dfv[order])
+
+    # -- device-side pieces -------------------------------------------------
+    def _ngram_hashes(self, seqs):
+        """seqs [N, L] int32 -> (h1, h2, valid) each [N, MAX_N, L].
+
+        Position (n-1, p) is the hash of the n-gram starting at p; valid
+        only when p + n <= effective length (first 0 inclusive).
+        """
+        N, L = seqs.shape
+        tok = seqs.astype(jnp.uint32) + jnp.uint32(1)
+        has_zero = (seqs == 0).any(axis=1)
+        first_zero = jnp.argmax(seqs == 0, axis=1)
+        eff_len = jnp.where(has_zero, first_zero + 1, L)  # [N]
+
+        h1s, h2s = [], []
+        seed1 = []
+        for n in range(1, MAX_N + 1):
+            s1 = np.uint32((n * 2166136261 + 3) & 0xFFFFFFFF)
+            s2 = np.uint32((n * 2166136261 + 7) & 0xFFFFFFFF)
+            h1 = jnp.full((N, L), s1, jnp.uint32)
+            h2 = jnp.full((N, L), s2, jnp.uint32)
+            for k in range(n):
+                # token at position p + k (clamped; masked by validity)
+                shifted = jnp.roll(tok, -k, axis=1)
+                h1 = h1 * _M1 + shifted
+                h2 = h2 * _M2 + shifted
+            h1s.append(h1)
+            h2s.append(h2)
+            seed1.append(s1)
+        h1 = jnp.stack(h1s, axis=1)   # [N, MAX_N, L]
+        h2 = jnp.stack(h2s, axis=1)
+        pos = jnp.arange(L)[None, None, :]
+        nn = jnp.arange(1, MAX_N + 1)[None, :, None]
+        valid = (pos + nn) <= eff_len[:, None, None]
+        return h1, h2, valid, eff_len
+
+    def _idf(self, h1, h2):
+        """Look up log-idf for hashes (0 when ngram unseen)."""
+        shape = h1.shape
+        f1 = h1.reshape(-1)
+        f2 = h2.reshape(-1)
+        idx = jnp.searchsorted(self.table_h1, f1)
+        T = self.table_h1.shape[0]
+        dfv = jnp.zeros(f1.shape, jnp.float32)
+        found = jnp.zeros(f1.shape, bool)
+        for k in range(_PROBE):
+            j = jnp.minimum(idx + k, T - 1)
+            hit = (~found & (self.table_h1[j] == f1) &
+                   (self.table_h2[j] == f2))
+            dfv = jnp.where(hit, self.table_df[j], dfv)
+            found = found | hit
+        idf = self.log_ref_len - jnp.log(jnp.maximum(1.0, dfv))
+        return idf.reshape(shape)
+
+    @staticmethod
+    def _multiplicity(h1a, h2a, va, h1b, h2b, vb):
+        """For each ngram position in a: its multiplicity in b.
+
+        a: [..., MAX_N, L]; b broadcast-compatible.  Matching is within the
+        same n (dims already aligned on the MAX_N axis).
+        """
+        eq = ((h1a[..., :, None] == h1b[..., None, :]) &
+              (h2a[..., :, None] == h2b[..., None, :]) &
+              vb[..., None, :])
+        return jnp.sum(eq, axis=-1).astype(jnp.float32) * va
+
+    def sentence_stats(self, seqs):
+        """Precompute (h1, h2, valid, count, idf, norm, length) per row."""
+        h1, h2, valid, eff_len = self._ngram_hashes(seqs)
+        count = self._multiplicity(h1, h2, valid.astype(jnp.float32),
+                                   h1, h2, valid)
+        idf = self._idf(h1, h2) * valid
+        # norm_n^2 = sum_i c_i * idf_i^2  (per n)
+        norm2 = jnp.sum(count * idf * idf, axis=-1)     # [N, MAX_N]
+        norm = jnp.sqrt(norm2)
+        length = jnp.sum(valid[:, 1, :], axis=-1).astype(jnp.float32)
+        return dict(h1=h1, h2=h2, valid=valid, count=count, idf=idf,
+                    norm=norm, length=length)
+
+    def pair_scores(self, cand, ref):
+        """CIDEr-D similarity for aligned candidate/reference stat pytrees
+        whose leading dims broadcast; returns [...] scores (already *10/4
+        aggregated over n and the length gaussian)."""
+        m = self._multiplicity(cand['h1'], cand['h2'],
+                               cand['valid'].astype(jnp.float32),
+                               ref['h1'], ref['h2'], ref['valid'])
+        c = cand['count']
+        contrib = jnp.where(c > 0,
+                            jnp.minimum(c, m) * m * cand['idf'] ** 2 / jnp.maximum(c, 1.0),
+                            0.0)
+        dot = jnp.sum(contrib, axis=-1)                  # [..., MAX_N]
+        denom = cand['norm'] * ref['norm']
+        sim = jnp.where(denom > 0, dot / jnp.maximum(denom, 1e-12), 0.0)
+        delta = cand['length'] - ref['length']
+        gauss = jnp.exp(-(delta * delta) / (2 * SIGMA * SIGMA))
+        return jnp.sum(sim, axis=-1) * gauss[...] * (10.0 / MAX_N)
+
+    def score(self, cands, refs, ref_mask):
+        """cands [N, L]; refs [N, R, Lr]; ref_mask [N, R] -> scores [N].
+
+        refs are already expanded per candidate (group gather done by the
+        caller); rows with ref_mask 0 are ignored in the mean.
+        """
+        N, R, Lr = refs.shape
+        c_stats = self.sentence_stats(cands)
+        r_stats = self.sentence_stats(refs.reshape(N * R, Lr))
+        r_stats = jax.tree.map(
+            lambda x: x.reshape((N, R) + x.shape[1:]), r_stats)
+        c_exp = jax.tree.map(lambda x: x[:, None], c_stats)
+        per_ref = self.pair_scores(c_exp, r_stats)       # [N, R]
+        per_ref = per_ref * ref_mask
+        n_refs = jnp.maximum(ref_mask.sum(-1), 1.0)
+        return per_ref.sum(-1) / n_refs
+
+    def self_critical_reward(self, greedy, gen, refs, ref_mask,
+                             cider_weight: float = 1.0):
+        """get_self_critical_reward (reference rewards.py:41-81), fully on
+        device.  greedy [B, L]; gen [B*n, L]; refs [B, R, Lr];
+        ref_mask [B, R] -> rewards [B*n, L]."""
+        B = greedy.shape[0]
+        N = gen.shape[0]
+        n = N // B
+        refs_gen = jnp.repeat(refs, n, axis=0)
+        mask_gen = jnp.repeat(ref_mask, n, axis=0)
+        s_gen = self.score(gen, refs_gen, mask_gen) * cider_weight
+        s_greedy = self.score(greedy, refs, ref_mask) * cider_weight
+        adv = s_gen.reshape(B, n) - s_greedy[:, None]
+        adv = adv.reshape(N)
+        return jnp.repeat(adv[:, None], gen.shape[1], axis=1)
+
+
+def pad_gts(data_gts, pad_to_multiple: int = 1):
+    """Host helper: list of [n_i, Lr] int arrays -> (refs [B, R, Lr],
+    mask [B, R]) with R = max n_i (optionally rounded up for shape reuse)."""
+    B = len(data_gts)
+    R = max(len(g) for g in data_gts)
+    if pad_to_multiple > 1:
+        R = -(-R // pad_to_multiple) * pad_to_multiple
+    Lr = max(np.asarray(g).shape[1] for g in data_gts)
+    refs = np.zeros((B, R, Lr), np.int32)
+    mask = np.zeros((B, R), np.float32)
+    for i, g in enumerate(data_gts):
+        g = np.asarray(g, np.int32)
+        refs[i, :g.shape[0], :g.shape[1]] = g
+        mask[i, :g.shape[0]] = 1.0
+    return refs, mask

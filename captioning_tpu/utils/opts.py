@@ -160,6 +160,11 @@ def build_parser():
                              'Empty = all devices on the data axis.')
     parser.add_argument('--use_pallas', type=int, default=0,
                         help='enable pallas fused kernels on TPU')
+    parser.add_argument('--on_device_cider', type=int, default=0,
+                        help='fuse the whole SCST iteration (decode + '
+                             'CIDEr-D reward + grad) into one jitted '
+                             'program using the on-device scorer; requires '
+                             'a pure-CIDEr reward')
 
     # config
     parser.add_argument('--cfg', type=str, default=None)

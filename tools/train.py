@@ -196,6 +196,7 @@ def train(opt):
     opt.current_lr = opt.learning_rate
     ss_prob = 0.0
     native_scorer = None
+    device_scorer = None
 
     def get_native_scorer():
         """C++ CIDEr-D fast path (~30x the python scorer); used when the
@@ -296,6 +297,23 @@ def train(opt):
                     variables, opt_state, fc, att, labels, masks, am,
                     opt.current_lr, ss_prob, step_rng,
                     drop_worst_flag=drop_worst_flag)
+            elif getattr(opt, 'on_device_cider', 0) and \
+                    opt.cider_reward_weight > 0 and \
+                    opt.bleu_reward_weight == 0:
+                # fully fused SCST: no host sync inside the iteration
+                import jax.numpy as jnp
+                if device_scorer is None:
+                    from captioning_tpu.ops.cider_device import DeviceCiderD
+                    device_scorer = DeviceCiderD(opt.cached_tokens)
+                    print('using on-device CIDEr-D (fused SCST step)')
+                from captioning_tpu.ops.cider_device import pad_gts
+                refs, ref_mask = pad_gts(data['gts'], pad_to_multiple=5)
+                rng_g, rng_s = jax.random.split(step_rng)
+                variables, opt_state, out = trainer.sc_fused_step(
+                    variables, opt_state, fc, att, am, jnp.asarray(refs),
+                    jnp.asarray(ref_mask), opt.current_lr, rng_g, rng_s,
+                    device_scorer)
+                out['reward'] = float(out['reward'])
             else:
                 rng_g, rng_s = jax.random.split(step_rng)
                 greedy_seq, gen_seq = trainer.sc_decode(
