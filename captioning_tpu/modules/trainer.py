@@ -216,6 +216,71 @@ class Trainer:
                                 ref_mask, jnp.float32(lr), rng_greedy,
                                 rng_sample)
 
+    def struc_fused_step(self, variables, opt_state, fc, att, labels, masks,
+                         am, refs, ref_mask, lr, rng, rng_lm, device_scorer):
+        """Fully-fused structure-loss iteration (e.g. new_self_critical):
+        sampling + on-device CIDEr-D scores + structure loss (+ optional XE
+        mix) + gradient in one jitted program.  Not available for PPO or
+        self-cider rewards (those keep the host path)."""
+        opt = self.opt
+        key = 'struc_fused'
+        if key not in self._cache:
+            cap = self.captioner
+            w = float(opt.structure_loss_weight)
+            sample_n = int(opt.train_sample_n)
+            out_ls = int(getattr(opt, 'struc_use_logsoftmax', False) or
+                         opt.structure_loss_type == 'softmax_margin' or
+                         'margin' not in opt.structure_loss_type)
+            tr_opt = {'sample_method': opt.train_sample_method,
+                      'beam_size': opt.train_beam_size,
+                      'output_logsoftmax': out_ls,
+                      'sample_n': sample_n}
+            cider_w = float(opt.cider_reward_weight)
+            entropy_w = float(getattr(opt, 'entropy_reward_weight', 0))
+
+            def loss_fn(variables, fc, att, labels, masks, am, refs,
+                        ref_mask, rng, rng_lm):
+                out = {}
+                if w < 1:
+                    logprobs = cap.forward_tf(variables, fc, att,
+                                              labels[..., :-1], am, 0.0,
+                                              rng_lm, train=True)
+                    lm_loss = self._crit(logprobs, labels[..., 1:],
+                                         masks[..., 1:], 'mean')
+                else:
+                    lm_loss = jnp.float32(0)
+                dm = cap.bind(variables, train=True)
+                gen_seq, gen_lp = decoding.sample(dm, fc, att, am, rng,
+                                                  tr_opt)
+                refs_exp = jnp.repeat(refs, sample_n, axis=0)
+                mask_exp = jnp.repeat(ref_mask, sample_n, axis=0)
+                scores = device_scorer.score(gen_seq, refs_exp,
+                                             mask_exp) * cider_w
+                scores = jax.lax.stop_gradient(scores.astype(jnp.float32))
+                struc = losses.structure_loss(
+                    gen_lp, gen_seq, scores, opt.structure_loss_type,
+                    sample_n, entropy_reward_weight=entropy_w)
+                loss = (1 - w) * lm_loss + w * struc['loss']
+                aux = {'lm_loss': lm_loss, 'struc_loss': struc['loss'],
+                       'reward': struc['reward']}
+                return loss, aux
+
+            def step(variables, opt_state, fc, att, labels, masks, am,
+                     refs, ref_mask, lr, rng, rng_lm):
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                    variables, fc, att, labels, masks, am, refs, ref_mask,
+                    rng, rng_lm)
+                variables, opt_state = self._apply_updates(
+                    variables, opt_state, grads['params'], lr)
+                aux['loss'] = loss
+                return variables, opt_state, aux
+
+            self._cache[key] = jax.jit(step, donate_argnums=(0, 1))
+        return self._cache[key](variables, opt_state, fc, att, labels,
+                                masks, am, refs, ref_mask, jnp.float32(lr),
+                                rng, rng_lm)
+
     # -- structure losses / PPO -----------------------------------------------
     def struc_decode(self, variables, fc, att, am, rng):
         """Phase A for structure losses (loss_wrapper.py:31-37)."""

@@ -63,9 +63,9 @@ def _attn_kernel(att_h_ref, att_ref, p_att_ref, mask_ref, w_ref, b_ref,
     b = b_ref[0, 0]
 
     dot = jnp.tanh(p_att + att_h[:, None, :])                 # [TB, M, A]
-    e = jax.lax.dot_general(
-        dot, w[0], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b               # [TB, M]
+    # 3-D contractions don't lower in Mosaic; mul+reduce over A on the VPU
+    e = jnp.sum(dot * w[0][None, None, :], axis=-1,
+                dtype=jnp.float32) + b                        # [TB, M]
     e = e - jnp.max(e, axis=-1, keepdims=True)
     ex = jnp.exp(e)
     weight = ex / jnp.sum(ex, axis=-1, keepdims=True)

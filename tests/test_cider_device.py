@@ -136,3 +136,52 @@ def test_sc_fused_step_runs_and_learns(ds):
             jnp.asarray(mask), 1e-4, r1, r2, dev)
     assert np.isfinite(float(out['loss']))
     assert np.isfinite(float(out['reward']))
+
+
+def test_struc_fused_step_runs(ds):
+    """Fused NSC structure-loss step executes and is finite."""
+    import jax
+    from types import SimpleNamespace
+    from captioning_tpu.models import setup
+    from captioning_tpu.modules.trainer import Trainer
+    from captioning_tpu.ops.cider_device import DeviceCiderD, pad_gts
+
+    opt = SimpleNamespace(
+        caption_model='att2in2', vocab_size=25, input_encoding_size=12,
+        rnn_size=16, num_layers=1, drop_prob_lm=0.5, fc_feat_size=8,
+        att_feat_size=10, att_hid_size=8, seq_per_img=2, max_length=6,
+        compute_dtype='float32',
+        optim='adam', optim_alpha=0.9, optim_beta=0.999, optim_epsilon=1e-8,
+        weight_decay=0, grad_clip_mode='value', grad_clip_value=0.1,
+        label_smoothing=0, noamopt=False, drop_worst_rate=0,
+        train_sample_n=3, train_sample_method='sample', train_beam_size=1,
+        structure_loss_type='new_self_critical', structure_loss_weight=1.0,
+        struc_use_logsoftmax=False, cider_reward_weight=1,
+        entropy_reward_weight=0, use_ppo=0)
+    vocab = {str(i): 'w%d' % i for i in range(1, 26)}
+    cap = setup(opt, vocab)
+    variables = cap.init_params(jax.random.PRNGKey(0), att_len=4)
+    trainer = Trainer(cap, opt)
+    opt_state = trainer.init_opt_state(variables)
+    dev = DeviceCiderD(ds.cached_tokens)
+
+    rng = np.random.RandomState(4)
+    B = 4
+    fc = jnp.asarray(rng.randn(B, 8).astype('float32'))
+    att = jnp.asarray(rng.randn(B, 4, 10).astype('float32'))
+    am = jnp.ones((B, 4))
+    labels = jnp.asarray(rng.randint(0, 25, (B, 2, 8)))
+    masks = jnp.ones((B, 2, 8))
+    gts = [rng.randint(1, 26, (3, 6)) for _ in range(B)]
+    for g in gts:
+        g[:, -1] = 0
+    refs, mask = pad_gts(gts)
+
+    import jax as _j
+    for i in range(2):
+        r1, r2 = _j.random.split(_j.random.PRNGKey(i))
+        variables, opt_state, out = trainer.struc_fused_step(
+            variables, opt_state, fc, att, labels, masks, am,
+            jnp.asarray(refs), jnp.asarray(mask), 1e-4, r1, r2, dev)
+    assert np.isfinite(float(out['loss']))
+    assert np.isfinite(float(np.asarray(out['reward']).mean()))

@@ -267,7 +267,24 @@ def train(opt):
             rng, step_rng = jax.random.split(rng)
 
             out = {}
-            if struc_flag:
+            if struc_flag and getattr(opt, 'on_device_cider', 0) and \
+                    opt.cider_reward_weight > 0 and \
+                    opt.bleu_reward_weight == 0 and not opt.use_ppo and \
+                    getattr(opt, 'self_cider_reward_weight', 0) == 0:
+                # fully fused structure-loss (e.g. NSC) iteration
+                import jax.numpy as jnp
+                if device_scorer is None:
+                    from captioning_tpu.ops.cider_device import DeviceCiderD
+                    device_scorer = DeviceCiderD(opt.cached_tokens)
+                    print('using on-device CIDEr-D (fused structure step)')
+                from captioning_tpu.ops.cider_device import pad_gts
+                refs, ref_mask = pad_gts(data['gts'], pad_to_multiple=5)
+                rng_a, rng_lm = jax.random.split(step_rng)
+                variables, opt_state, out = trainer.struc_fused_step(
+                    variables, opt_state, fc, att, labels, masks, am,
+                    jnp.asarray(refs), jnp.asarray(ref_mask),
+                    opt.current_lr, rng_a, rng_lm, device_scorer)
+            elif struc_flag:
                 rng_a, rng_lm = jax.random.split(step_rng)
                 gen_seq = trainer.struc_decode(variables, fc, att, am, rng_a)
                 gen_np = np.asarray(gen_seq)
