@@ -270,7 +270,8 @@ def train(opt):
             if struc_flag and getattr(opt, 'on_device_cider', 0) and \
                     opt.cider_reward_weight > 0 and \
                     opt.bleu_reward_weight == 0 and not opt.use_ppo and \
-                    getattr(opt, 'self_cider_reward_weight', 0) == 0:
+                    getattr(opt, 'self_cider_reward_weight', 0) == 0 and \
+                    not drop_worst_flag:
                 # fully fused structure-loss (e.g. NSC) iteration
                 import jax.numpy as jnp
                 if device_scorer is None:
@@ -316,7 +317,7 @@ def train(opt):
                     drop_worst_flag=drop_worst_flag)
             elif getattr(opt, 'on_device_cider', 0) and \
                     opt.cider_reward_weight > 0 and \
-                    opt.bleu_reward_weight == 0:
+                    opt.bleu_reward_weight == 0 and not drop_worst_flag:
                 # fully fused SCST: no host sync inside the iteration
                 import jax.numpy as jnp
                 if device_scorer is None:
