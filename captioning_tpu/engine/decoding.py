@@ -605,7 +605,10 @@ def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     state = dm.init_state(B)
     it = jnp.full((B,), dm.bos_idx, jnp.int32)
     init_logprobs, state = dm.step(it, feats, state, bos_rng, True)
-    feats_per_beam = repeat_tree(beam_size, feats)
+    # repeat by the EFFECTIVE beam count: when group_size does not divide
+    # beam_size the reference floors (CaptionModel.beam_search bdash), so a
+    # beam_size=5 group_size=2 run uses 4 rows per image, not 5.
+    feats_per_beam = repeat_tree(group_size * bdash, feats)
     done = beam_search(dm, init_logprobs, state, feats_per_beam, bs_rng, opt)
 
     if sample_n == 1:

@@ -146,6 +146,15 @@ class BertCaptioner(nn.Module):
         x = self.embed_ln(x)
         return self._dropout(x, cfg.dropout, train)
 
+    def _embed_tokens_rows(self, it, t_rows, train):
+        """single-token embed at per-row positions (staggered groups)."""
+        cfg = self.cfg
+        x = jnp.take(self.word_embed.astype(cfg.dtype), it[:, None], axis=0)
+        x = x + self.pos_embed[t_rows][:, None, :].astype(cfg.dtype) + \
+            self.type_embed[0].astype(cfg.dtype)
+        x = self.embed_ln(x)
+        return self._dropout(x, cfg.dropout, train)
+
     # -- engine protocol ------------------------------------------------------
     def prepare_feature(self, fc_feats, att_feats, att_masks,
                         train: bool = False):
@@ -176,21 +185,24 @@ class BertCaptioner(nn.Module):
              logsoftmax: bool = True):
         cfg = self.cfg
         h = cfg.num_att_heads
-        t = state['t'][0]
+        t_rows = state['t']                     # per-row positions
         T = state['k0'].shape[-2]
-        x = self._embed_tokens(it[:, None], t, train)
+        B = it.shape[0]
+        x = self._embed_tokens_rows(it, t_rows, train)
         new_state = dict(state, t=state['t'] + 1)
-        self_mask = (jnp.arange(T) <= t)[None, None, None, :]
+        self_mask = (jnp.arange(T)[None, :] <= t_rows[:, None]
+                     )[:, None, None, :]
+        rows = jnp.arange(B)
         src_mask = (feats['att_masks'][:, None, None, :]
                     if feats['att_masks'] is not None else None)
         for i in range(cfg.N_dec):
             blk = self.dec_self[i]
             k_new = _split_heads(blk.wk(x), h)
             v_new = _split_heads(blk.wv(x), h)
-            k_cache = jax.lax.dynamic_update_slice_in_dim(
-                state['k%d' % i], k_new, t, axis=-2)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(
-                state['v%d' % i], v_new, t, axis=-2)
+            k_cache = state['k%d' % i].at[rows, :, t_rows, :].set(
+                k_new[:, :, 0, :])
+            v_cache = state['v%d' % i].at[rows, :, t_rows, :].set(
+                v_new[:, :, 0, :])
             new_state['k%d' % i] = k_cache
             new_state['v%d' % i] = v_cache
             x = self._attn(blk, x, k_cache, v_cache, self_mask, train)

@@ -232,31 +232,41 @@ class TransformerCaptioner(nn.Module):
 
     def step(self, it, feats, state, train: bool = False,
              logsoftmax: bool = True):
-        """Single cached decoder step (cachedTransformer.py:398-420)."""
+        """Single cached decoder step (cachedTransformer.py:398-420).
+
+        ``t`` is PER ROW (state['t']): diverse-beam groups are staggered in
+        time, so rows of the same batched call can sit at different
+        positions."""
         cfg = self.cfg
         h = cfg.num_att_heads
-        t = state['t'][0]  # uniform across batch within a scan step
+        t_rows = state['t']                       # [B]
         T = state['k0'].shape[-2]
-        x = self._embed_tokens(it[:, None], t, train)
+        B = it.shape[0]
+        x = jnp.take(self.tgt_embed.astype(cfg.dtype), it[:, None], axis=0)
+        x = x * jnp.sqrt(jnp.asarray(cfg.d_model, cfg.dtype))
+        x = x + self.pe[t_rows][:, None, :].astype(cfg.dtype)
+        x = self._dropout(x, cfg.dropout, train)
 
         new_state = dict(state, t=state['t'] + 1)
-        # positions 0..t are valid after this step's write
+        # positions 0..t_row are valid after this step's write
         pos_ids = jnp.arange(T)
-        self_mask = (pos_ids <= t)[None, None, None, :]  # [1,1,1,T]
+        self_mask = (pos_ids[None, :] <= t_rows[:, None]
+                     )[:, None, None, :]           # [B,1,1,T]
         src_mask = None
         if feats['att_masks'] is not None:
             src_mask = feats['att_masks'][:, None, None, :]
 
+        rows = jnp.arange(B)
         for i in range(cfg.N_dec):
             proj = self.dec_self[i]
             y = self.dec_norm1[i](x)
             q = _split_heads(proj.wq(y), h)           # [B, h, 1, dk]
             k_new = _split_heads(proj.wk(y), h)       # [B, h, 1, dk]
             v_new = _split_heads(proj.wv(y), h)
-            k_cache = jax.lax.dynamic_update_slice_in_dim(
-                state['k%d' % i], k_new, t, axis=-2)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(
-                state['v%d' % i], v_new, t, axis=-2)
+            k_cache = state['k%d' % i].at[rows, :, t_rows, :].set(
+                k_new[:, :, 0, :])
+            v_cache = state['v%d' % i].at[rows, :, t_rows, :].set(
+                v_new[:, :, 0, :])
             new_state['k%d' % i] = k_cache
             new_state['v%d' % i] = v_cache
             y = proj.wo(_merge_heads(_attend(q, k_cache, v_cache, self_mask,
