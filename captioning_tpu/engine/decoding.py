@@ -267,7 +267,7 @@ def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
         it_prev, state, unfinished, seq_buf, t = carry
         rngs = xs
         logprobs, state = dm.step(it_prev, feats, state, rngs[0],
-                                  bool(output_logsoftmax))
+                                  bool(output_logsoftmax), uniform_t=True)
         # it_prev == seq[:, t-1] for t >= 1; constraints are gated on t > 0
         logprobs = _apply_step_constraints(
             logprobs, it_prev, t, dm, decoding_constraint, remove_bad_endings)
@@ -319,7 +319,7 @@ def scan_logprobs(dm: DecodeModel, fc_feats, att_feats, att_masks, gen_seq,
         state, t = carry
         it, rngs = xs
         logprobs, state = dm.step(it, feats, state, rngs[0],
-                                  bool(output_logsoftmax))
+                                  bool(output_logsoftmax), uniform_t=True)
         return (state, t + 1), logprobs
 
     (_, _), outputs = jax.lax.scan(
@@ -497,7 +497,7 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
         new_state = reorder_state(state, state_ix)
         it = jnp.stack(sel_list, axis=1).reshape(NBG).astype(jnp.int32)
         step_lp, stepped_state = dm.step(it, feats_per_beam, new_state,
-                                         step_rng, True)
+                                         step_rng, True, uniform_t=(G == 1))
         step_lp = jax.nn.log_softmax(step_lp / temperature, axis=-1)
         new_logprobs_table = step_lp.reshape(B, G, bdash, V1)
 
@@ -558,7 +558,8 @@ def replay_beam_logps(dm: DecodeModel, feats, seqs, rng,
         state, t = carry
         it, step_rng = xs
         # the input token at step t IS seq[t-1] (bos at t=0)
-        lp, state = dm.step(it, feats, state, step_rng, True)
+        lp, state = dm.step(it, feats, state, step_rng, True,
+                            uniform_t=True)
         lp = jnp.where(t > 0,
                        jax.nn.log_softmax(lp / temperature, axis=-1), lp)
         has_prev = t > 0
@@ -604,7 +605,8 @@ def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     feats = dm.prepare(fc_feats, att_feats, att_masks, prep_rng)
     state = dm.init_state(B)
     it = jnp.full((B,), dm.bos_idx, jnp.int32)
-    init_logprobs, state = dm.step(it, feats, state, bos_rng, True)
+    init_logprobs, state = dm.step(it, feats, state, bos_rng, True,
+                                   uniform_t=True)
     # repeat by the EFFECTIVE beam count: when group_size does not divide
     # beam_size the reference floors (CaptionModel.beam_search bdash), so a
     # beam_size=5 group_size=2 run uses 4 rows per image, not 5.
@@ -682,8 +684,11 @@ def diverse_sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
             idx, axis=3)[..., 0]                          # [B, Gt, Gs]
         chosen = jax.nn.one_hot(toks, V1, dtype=bool).any(0)   # [Gt, Gs, V1]
         src_before = (jnp.arange(G)[:, None] > jnp.arange(G)[None, :])
-        prev_chosen = (chosen & src_before[..., None]).any(1)  # [Gt, V1]
-        lp4 = lp4 - diversity_lambda * prev_chosen[None].astype(jnp.float32)
+        # each earlier group's column assignment fires once per group
+        # (duplicate indices collapse) but groups accumulate sequentially:
+        # a column chosen by k earlier groups is penalized k times
+        n_chosen = (chosen & src_before[..., None]).sum(1)     # [Gt, V1]
+        lp4 = lp4 - diversity_lambda * n_chosen[None].astype(jnp.float32)
 
         lp = lp4.reshape(B * G, V1)
         prev_tok = jnp.take_along_axis(

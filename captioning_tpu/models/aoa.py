@@ -179,8 +179,10 @@ class AoACaptioner(nn.Module):
         }
 
     def step(self, it, feats, state, train: bool = False,
-             logsoftmax: bool = True):
-        """AoA_Decoder_Core (reference AoAModel.py:163-186)."""
+             logsoftmax: bool = True, uniform_t: bool = False):
+        """AoA_Decoder_Core (reference AoAModel.py:163-186).
+
+        ``uniform_t`` is a layout hint for KV-cached models; ignored."""
         cfg = self.cfg
         D = cfg.rnn_size
         xt = self.embed(it)

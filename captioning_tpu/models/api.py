@@ -85,8 +85,9 @@ class Captioner:
         def init_state(batch):
             return module.init_state(batch)
 
-        def step(it, feats, state, rng, logsoftmax=True):
+        def step(it, feats, state, rng, logsoftmax=True, uniform_t=False):
             out = module.apply(variables, it, feats, state, train, logsoftmax,
+                               uniform_t,
                                method=type(module).step, rngs=_rngs(rng),
                                mutable=['batch_stats'] if train else False)
             return out[0] if train else out

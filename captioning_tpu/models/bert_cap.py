@@ -182,27 +182,36 @@ class BertCaptioner(nn.Module):
         return state
 
     def step(self, it, feats, state, train: bool = False,
-             logsoftmax: bool = True):
+             logsoftmax: bool = True, uniform_t: bool = False):
         cfg = self.cfg
         h = cfg.num_att_heads
         t_rows = state['t']                     # per-row positions
         T = state['k0'].shape[-2]
         B = it.shape[0]
+        t0 = t_rows[0]
         x = self._embed_tokens_rows(it, t_rows, train)
         new_state = dict(state, t=state['t'] + 1)
-        self_mask = (jnp.arange(T)[None, :] <= t_rows[:, None]
-                     )[:, None, None, :]
+        if uniform_t:
+            self_mask = (jnp.arange(T) <= t0)[None, None, None, :]
+        else:
+            self_mask = (jnp.arange(T)[None, :] <= t_rows[:, None]
+                         )[:, None, None, :]
         rows = jnp.arange(B)
+
+        def _cache_write(cache, new):
+            if uniform_t:
+                return jax.lax.dynamic_update_slice_in_dim(
+                    cache, new, t0, axis=-2)
+            return cache.at[rows, :, t_rows, :].set(new[:, :, 0, :])
+
         src_mask = (feats['att_masks'][:, None, None, :]
                     if feats['att_masks'] is not None else None)
         for i in range(cfg.N_dec):
             blk = self.dec_self[i]
             k_new = _split_heads(blk.wk(x), h)
             v_new = _split_heads(blk.wv(x), h)
-            k_cache = state['k%d' % i].at[rows, :, t_rows, :].set(
-                k_new[:, :, 0, :])
-            v_cache = state['v%d' % i].at[rows, :, t_rows, :].set(
-                v_new[:, :, 0, :])
+            k_cache = _cache_write(state['k%d' % i], k_new)
+            v_cache = _cache_write(state['v%d' % i], v_new)
             new_state['k%d' % i] = k_cache
             new_state['v%d' % i] = v_cache
             x = self._attn(blk, x, k_cache, v_cache, self_mask, train)

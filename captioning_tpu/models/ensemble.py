@@ -49,12 +49,12 @@ class EnsembleCaptioner:
             return {'m%d' % i: dm.init_state(batch)
                     for i, dm in enumerate(dms)}
 
-        def step(it, feats, state, rng, logsoftmax=True):
+        def step(it, feats, state, rng, logsoftmax=True, uniform_t=False):
             probs = None
             new_state = {}
             for i, dm in enumerate(dms):
                 lp, st = dm.step(it, feats['m%d' % i], state['m%d' % i],
-                                 rng, True)
+                                 rng, True, uniform_t=uniform_t)
                 p = jnp.exp(lp) * weights[i]
                 probs = p if probs is None else probs + p
                 new_state['m%d' % i] = st

@@ -646,8 +646,11 @@ class AttCaptioner(nn.Module):
         }
 
     def step(self, it, feats, state, train: bool = False,
-             logsoftmax: bool = True):
-        """get_logprobs_state (reference AttModel.py:166-176)."""
+             logsoftmax: bool = True, uniform_t: bool = False):
+        """get_logprobs_state (reference AttModel.py:166-176).
+
+        ``uniform_t`` is a layout hint for KV-cached models; RNN state is
+        positionless so it is ignored here."""
         xt = self.embed_word(it, train)
         output, state = self.core(xt, feats, state, train)
         logits = self.apply_logit(output)

@@ -231,42 +231,57 @@ class TransformerCaptioner(nn.Module):
         return state
 
     def step(self, it, feats, state, train: bool = False,
-             logsoftmax: bool = True):
+             logsoftmax: bool = True, uniform_t: bool = False):
         """Single cached decoder step (cachedTransformer.py:398-420).
 
         ``t`` is PER ROW (state['t']): diverse-beam groups are staggered in
         time, so rows of the same batched call can sit at different
-        positions."""
+        positions.  Callers that guarantee every row is at the same step
+        (plain sampling, non-diverse beam) pass ``uniform_t=True`` to get
+        the cheaper dynamic-slice cache update instead of a row scatter."""
         cfg = self.cfg
         h = cfg.num_att_heads
         t_rows = state['t']                       # [B]
         T = state['k0'].shape[-2]
         B = it.shape[0]
+        t0 = t_rows[0]
         x = jnp.take(self.tgt_embed.astype(cfg.dtype), it[:, None], axis=0)
         x = x * jnp.sqrt(jnp.asarray(cfg.d_model, cfg.dtype))
-        x = x + self.pe[t_rows][:, None, :].astype(cfg.dtype)
+        pe = self.pe.astype(cfg.dtype)
+        if uniform_t:
+            x = x + jax.lax.dynamic_slice_in_dim(pe, t0, 1, axis=0)[None]
+        else:
+            x = x + pe[t_rows][:, None, :]
         x = self._dropout(x, cfg.dropout, train)
 
         new_state = dict(state, t=state['t'] + 1)
         # positions 0..t_row are valid after this step's write
         pos_ids = jnp.arange(T)
-        self_mask = (pos_ids[None, :] <= t_rows[:, None]
-                     )[:, None, None, :]           # [B,1,1,T]
+        if uniform_t:
+            self_mask = (pos_ids <= t0)[None, None, None, :]   # [1,1,1,T]
+        else:
+            self_mask = (pos_ids[None, :] <= t_rows[:, None]
+                         )[:, None, None, :]                   # [B,1,1,T]
         src_mask = None
         if feats['att_masks'] is not None:
             src_mask = feats['att_masks'][:, None, None, :]
 
         rows = jnp.arange(B)
+
+        def _cache_write(cache, new):              # new: [B, h, 1, dk]
+            if uniform_t:
+                return jax.lax.dynamic_update_slice_in_dim(
+                    cache, new, t0, axis=-2)
+            return cache.at[rows, :, t_rows, :].set(new[:, :, 0, :])
+
         for i in range(cfg.N_dec):
             proj = self.dec_self[i]
             y = self.dec_norm1[i](x)
             q = _split_heads(proj.wq(y), h)           # [B, h, 1, dk]
             k_new = _split_heads(proj.wk(y), h)       # [B, h, 1, dk]
             v_new = _split_heads(proj.wv(y), h)
-            k_cache = state['k%d' % i].at[rows, :, t_rows, :].set(
-                k_new[:, :, 0, :])
-            v_cache = state['v%d' % i].at[rows, :, t_rows, :].set(
-                v_new[:, :, 0, :])
+            k_cache = _cache_write(state['k%d' % i], k_new)
+            v_cache = _cache_write(state['v%d' % i], v_new)
             new_state['k%d' % i] = k_cache
             new_state['v%d' % i] = v_cache
             y = proj.wo(_merge_heads(_attend(q, k_cache, v_cache, self_mask,

@@ -198,13 +198,28 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
             variables, fc, att, am, step_rng, sample_opt)
         seq = np.asarray(seq)
         lp = np.asarray(seq_logprobs)
-        # entropy / perplexity (reference eval_utils.py:173-174)
-        p = np.exp(lp - lp.max(-1, keepdims=True))
-        p /= p.sum(-1, keepdims=True)
+        G = int(sample_opt.get('group_size', 1) or 1)
+        if G > 1 and seq.shape[0] == fc.shape[0] * G:
+            # diverse sampling folds groups into rows [B*G, L]; the split
+            # loop reports one caption per image, so keep group 0 (the
+            # reference's eval_split cannot reach this combination at all —
+            # use eval_split_n / --sample_n_method dgreedy for all groups)
+            seq = seq.reshape(-1, G, seq.shape[-1])[:, 0]
+            lp = lp.reshape((-1, G) + lp.shape[1:])[:, 0]
         denom = (seq > 0).sum(1) + 1
-        entropy = -(np.exp(lp) * lp).sum(-1).sum(1) / denom
-        perplexity = -np.take_along_axis(
-            lp, seq[..., None], axis=2)[..., 0].sum(1) / denom
+        if lp.ndim == 3:
+            # entropy / perplexity (reference eval_utils.py:173-174)
+            entropy = -(np.exp(lp) * lp).sum(-1).sum(1) / denom
+            perplexity = -np.take_along_axis(
+                lp, seq[..., None], axis=2)[..., 0].sum(1) / denom
+        else:
+            # diverse sampling (group_size>1) returns only the sampled
+            # logprob per step [N, L]; the reference crashes here
+            # (eval_utils.py:173 does .sum(2) on a 2-D tensor) — degrade
+            # gracefully instead: perplexity from the sampled logprobs,
+            # entropy unavailable
+            entropy = np.zeros(lp.shape[0], lp.dtype)
+            perplexity = -np.where(seq > 0, lp, 0.0).sum(1) / denom
 
         sents = utils.decode_sequence(vocab, seq)
 

@@ -23,7 +23,7 @@ def make_mock_model(V1=11, seq_length=5, seed=0, feat_dim=4):
         return {'t': jnp.zeros((batch,), jnp.int32),
                 'prev': jnp.zeros((batch,), jnp.int32)}
 
-    def step(it, feats, state, rng_, logsoftmax=True):
+    def step(it, feats, state, rng_, logsoftmax=True, uniform_t=False):
         logits = jnp.asarray(table)[it] + feats['f'] @ jnp.asarray(W)
         state = dict(state, t=state['t'] + 1, prev=it)
         if logsoftmax:

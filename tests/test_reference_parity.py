@@ -159,6 +159,31 @@ def test_teacher_forced_and_greedy_parity(model):
         assert (ref_bseq.numpy() == np.asarray(jx_bseq)).all(), model
 
 
+@pytest.mark.parametrize('model', ['updown', 'transformer'])
+def test_diverse_sample_parity(model):
+    """Greedy diverse sampling (group_size>1, beam_size=1) must match the
+    reference AttModel._diverse_sample (AttModel.py:354) exactly —
+    including its column-indexing diversity penalty quirk."""
+    kw = dict(num_layers=2) if model == 'updown' else {}
+    opt = mkopt(model, **kw)
+    ref = ref_model(opt)
+    cap, variables = _jax_captioner(opt, ref)
+    fc, att, _ = _data(opt, B=3)
+
+    sopt = {'sample_method': 'greedy', 'beam_size': 1, 'group_size': 3,
+            'diversity_lambda': 0.5, 'decoding_constraint': 1}
+    with torch.no_grad():
+        ref_seq, ref_lp = ref(torch.tensor(fc), torch.tensor(att), None,
+                              opt=dict(sopt), mode='sample')
+    jx_seq, jx_lp = cap.sample_jit(variables, jnp.asarray(fc),
+                                   jnp.asarray(att), None,
+                                   jax.random.PRNGKey(0), sopt)
+    assert (ref_seq.numpy() == np.asarray(jx_seq)).all(), model
+    nz = ref_seq.numpy() != 0
+    lp_diff = np.abs(ref_lp.numpy() - np.asarray(jx_lp))[nz].max()
+    assert lp_diff < 2e-4, (model, lp_diff)
+
+
 @pytest.mark.parametrize('model', ['updown', 'transformer', 'att2in2'])
 def test_diverse_beam_parity(model):
     """Diverse beam search (group_size=2) must match the reference."""
