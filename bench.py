@@ -48,7 +48,7 @@ def main():
     captioner = setup(opt, vocab)
     variables = captioner.init_params(jax.random.PRNGKey(0), att_len=36)
 
-    B = 256
+    B = 1024
     rng = np.random.RandomState(0)
     fc = jnp.asarray(rng.randn(B, 2048).astype('float32'))
     att = jnp.asarray(rng.randn(B, 36, 2048).astype('float32'))
@@ -66,7 +66,7 @@ def main():
     compile_s = time.time() - t0
 
     # steady state
-    iters = 5
+    iters = 3
     t0 = time.time()
     for i in range(iters):
         seq, _, _ = captioner.sample_beam_jit(variables, fc, att, am,

@@ -52,6 +52,14 @@ class DecodeModel:
     pad_idx: int = 0
     unk_idx: Optional[int] = None
     bad_endings_ix: Tuple[int, ...] = ()
+    # Optional beam-ancestry support (KV-cached models): slots stay put,
+    # beam_search reorders only an ancestor-index table and the step
+    # attends through it.  ``beam_init(state, bdash)`` adds the ancestry
+    # leaves after lane replication; ``beam_reorder(state, flat_idx)``
+    # gathers every leaf EXCEPT the physical caches.  When both are set,
+    # beam_search calls step with ``beam_width=bdash``.
+    beam_init: Optional[Callable] = None
+    beam_reorder: Optional[Callable] = None
 
 
 # ---------------------------------------------------------------------------
@@ -370,6 +378,9 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
 
     # replicate bos-step state/logprobs to every (group, beam) lane
     state = repeat_tree(G * bdash, init_state)
+    use_anc = dm.beam_init is not None and dm.beam_reorder is not None
+    if use_anc:
+        state = dm.beam_init(state, bdash)
     logprobs_table = jnp.broadcast_to(
         init_logprobs[:, None, None, :], (B, G, bdash, V1))
 
@@ -494,19 +505,33 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
         base = (jnp.arange(B)[:, None, None] * G +
                 jnp.arange(G)[None, :, None]) * bdash
         state_ix = (base + beam_ix_all).reshape(-1)
-        new_state = reorder_state(state, state_ix)
         it = jnp.stack(sel_list, axis=1).reshape(NBG).astype(jnp.int32)
-        step_lp, stepped_state = dm.step(it, feats_per_beam, new_state,
-                                         step_rng, True, uniform_t=(G == 1))
+        if use_anc:
+            new_state = dm.beam_reorder(state, state_ix)
+            step_lp, stepped_state = dm.step(
+                it, feats_per_beam, new_state, step_rng, True,
+                uniform_t=(G == 1), beam_width=bdash)
+        else:
+            new_state = reorder_state(state, state_ix)
+            step_lp, stepped_state = dm.step(
+                it, feats_per_beam, new_state, step_rng, True,
+                uniform_t=(G == 1))
         step_lp = jax.nn.log_softmax(step_lp / temperature, axis=-1)
         new_logprobs_table = step_lp.reshape(B, G, bdash, V1)
 
-        active_vec = jnp.stack(active_list)              # [G]
-        act_g = active_vec[None, :, None]
-        act_rows = _expand_group(active_vec, B, bdash)
-        logprobs_table = jnp.where(act_g[..., None], new_logprobs_table,
-                                   logprobs_table)
-        state = _where_tree(act_rows, stepped_state, state)
+        if G == 1:
+            # single group: local_t == t is always inside [0, L-1] for the
+            # whole scan, so the freeze select is the identity — skipping it
+            # saves a full read+write of every cache leaf per step
+            logprobs_table = new_logprobs_table
+            state = stepped_state
+        else:
+            active_vec = jnp.stack(active_list)          # [G]
+            act_g = active_vec[None, :, None]
+            act_rows = _expand_group(active_vec, B, bdash)
+            logprobs_table = jnp.where(act_g[..., None], new_logprobs_table,
+                                       logprobs_table)
+            state = _where_tree(act_rows, stepped_state, state)
 
         beam_seq = jnp.stack(cur_seq, axis=1)
         beam_unaug_cum = jnp.stack(cur_ucum, axis=1)

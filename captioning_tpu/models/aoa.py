@@ -179,7 +179,8 @@ class AoACaptioner(nn.Module):
         }
 
     def step(self, it, feats, state, train: bool = False,
-             logsoftmax: bool = True, uniform_t: bool = False):
+             logsoftmax: bool = True, uniform_t: bool = False,
+             beam_width: int = 0):
         """AoA_Decoder_Core (reference AoAModel.py:163-186).
 
         ``uniform_t`` is a layout hint for KV-cached models; ignored."""

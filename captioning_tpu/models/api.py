@@ -85,18 +85,41 @@ class Captioner:
         def init_state(batch):
             return module.init_state(batch)
 
-        def step(it, feats, state, rng, logsoftmax=True, uniform_t=False):
+        def step(it, feats, state, rng, logsoftmax=True, uniform_t=False,
+                 beam_width=0):
             out = module.apply(variables, it, feats, state, train, logsoftmax,
-                               uniform_t,
+                               uniform_t, beam_width,
                                method=type(module).step, rngs=_rngs(rng),
                                mutable=['batch_stats'] if train else False)
             return out[0] if train else out
+
+        beam_init = beam_reorder = None
+        if getattr(type(module), 'SUPPORTS_BEAM_ANCESTRY', False):
+            def _is_cache(name):
+                return name[:1] in ('k', 'v') and name[1:].isdigit()
+
+            def beam_init(state, bdash):
+                # ancestry table: every past position initially lives in the
+                # row's own slot (the bos entry was replicated to all lanes)
+                n = state['t'].shape[0]
+                T = state['k0'].shape[-2]
+                anc = jnp.broadcast_to(
+                    (jnp.arange(n, dtype=jnp.int32) % bdash)[:, None], (n, T))
+                return dict(state, anc=anc)
+
+            def beam_reorder(state, flat_idx):
+                # physical K/V slots never move; rows inherit the parent's
+                # ancestry (and scalar leaves) by gather
+                return {kk: (vv if _is_cache(kk)
+                             else jnp.take(vv, flat_idx, axis=0))
+                        for kk, vv in state.items()}
 
         return DecodeModel(
             prepare=prepare, init_state=init_state, step=step,
             seq_length=cfg.seq_length, vocab_plus=cfg.vocab_size + 1,
             bos_idx=cfg.bos_idx, eos_idx=cfg.eos_idx, pad_idx=cfg.pad_idx,
-            unk_idx=self.unk_idx, bad_endings_ix=self.bad_endings_ix)
+            unk_idx=self.unk_idx, bad_endings_ix=self.bad_endings_ix,
+            beam_init=beam_init, beam_reorder=beam_reorder)
 
     # -- teacher forcing -------------------------------------------------------
     def forward_tf(self, variables, fc_feats, att_feats, seq, att_masks,

@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from .harness import ModelConfig
 from .layers import Dense, MaskedBatchNorm, MLPEmbed
-from .transformer import _attend, _merge_heads, _split_heads
+from .transformer import _attend, _merge_heads, _split_heads, _attend_beam
 
 _LN_EPS = 1e-12  # BertConfig default
 
@@ -67,6 +67,7 @@ class BertFFNBlock(nn.Module):
 class BertCaptioner(nn.Module):
     """BERT encoder-decoder captioner with the engine step protocol."""
     cfg: ModelConfig
+    SUPPORTS_BEAM_ANCESTRY = True
 
     def setup(self):
         cfg = self.cfg
@@ -111,6 +112,18 @@ class BertCaptioner(nn.Module):
         x = _merge_heads(_attend(q, kv_k, kv_v, mask,
                                  lambda p: self._dropout(
                                      p, self.cfg.dropout, train)))
+        x = self._dropout(blk.wo(x), self.cfg.dropout, train)
+        return blk.ln(q_in + x)
+
+    def _attn_anc(self, blk: BertAttnBlock, q_in, kv_k, kv_v, anc,
+                  time_mask, bw, train):
+        """self-attention through the beam-ancestry table (see
+        transformer._attend_beam); post-LN residual as in _attn."""
+        h = self.cfg.num_att_heads
+        q = _split_heads(blk.wq(q_in), h)
+        x = _merge_heads(_attend_beam(q, kv_k, kv_v, anc, time_mask, bw,
+                                      lambda p: self._dropout(
+                                          p, self.cfg.dropout, train)))
         x = self._dropout(blk.wo(x), self.cfg.dropout, train)
         return blk.ln(q_in + x)
 
@@ -182,7 +195,8 @@ class BertCaptioner(nn.Module):
         return state
 
     def step(self, it, feats, state, train: bool = False,
-             logsoftmax: bool = True, uniform_t: bool = False):
+             logsoftmax: bool = True, uniform_t: bool = False,
+             beam_width: int = 0):
         cfg = self.cfg
         h = cfg.num_att_heads
         t_rows = state['t']                     # per-row positions
@@ -204,6 +218,18 @@ class BertCaptioner(nn.Module):
                     cache, new, t0, axis=-2)
             return cache.at[rows, :, t_rows, :].set(new[:, :, 0, :])
 
+        if beam_width:
+            slot = (rows % beam_width).astype(jnp.int32)
+            if uniform_t:
+                anc = jax.lax.dynamic_update_slice_in_dim(
+                    state['anc'], slot[:, None], t0, axis=1)
+                time_mask = jnp.broadcast_to(
+                    (jnp.arange(T) <= t0)[None], (B, T))
+            else:
+                anc = state['anc'].at[rows, t_rows].set(slot)
+                time_mask = jnp.arange(T)[None, :] <= t_rows[:, None]
+            new_state['anc'] = anc
+
         src_mask = (feats['att_masks'][:, None, None, :]
                     if feats['att_masks'] is not None else None)
         for i in range(cfg.N_dec):
@@ -214,7 +240,11 @@ class BertCaptioner(nn.Module):
             v_cache = _cache_write(state['v%d' % i], v_new)
             new_state['k%d' % i] = k_cache
             new_state['v%d' % i] = v_cache
-            x = self._attn(blk, x, k_cache, v_cache, self_mask, train)
+            if beam_width:
+                x = self._attn_anc(blk, x, k_cache, v_cache, anc, time_mask,
+                                   beam_width, train)
+            else:
+                x = self._attn(blk, x, k_cache, v_cache, self_mask, train)
             x = self._attn(self.dec_cross[i], x, feats['mem_k'][:, i],
                            feats['mem_v'][:, i], src_mask, train)
             x = self._ffn(self.dec_ffn[i], x, train)

@@ -646,7 +646,8 @@ class AttCaptioner(nn.Module):
         }
 
     def step(self, it, feats, state, train: bool = False,
-             logsoftmax: bool = True, uniform_t: bool = False):
+             logsoftmax: bool = True, uniform_t: bool = False,
+             beam_width: int = 0):
         """get_logprobs_state (reference AttModel.py:166-176).
 
         ``uniform_t`` is a layout hint for KV-cached models; RNN state is

@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from .harness import ModelConfig
 from .layers import Dense, MaskedBatchNorm
-from .transformer import _attend, _merge_heads, _split_heads
+from .transformer import _attend, _merge_heads, _split_heads, _attend_beam
 
 M2_MEMORY_SLOTS = 40
 
@@ -72,6 +72,7 @@ class M2Attn(nn.Module):
 class M2Captioner(nn.Module):
     """M2 transformer exposing the engine step protocol."""
     cfg: ModelConfig
+    SUPPORTS_BEAM_ANCESTRY = True
 
     def setup(self):
         cfg = self.cfg
@@ -217,12 +218,22 @@ class M2Captioner(nn.Module):
         return state
 
     def _decoder_layer(self, i, x, self_k, self_v, self_mask, feats,
-                       src_mask, train):
+                       src_mask, train, anc_ctx=None):
         cfg = self.cfg
         h = cfg.num_att_heads
         blk = self.dec_self[i]
-        x = self._mha(blk, x, None, self_mask, train,
-                      kv_cached=(self_k, self_v))
+        if anc_ctx is not None:
+            # beam-ancestry self-attention (see transformer._attend_beam)
+            anc, time_mask, bw = anc_ctx
+            q0 = _split_heads(blk.wq(x), h)
+            y = _merge_heads(_attend_beam(
+                q0, self_k, self_v, anc, time_mask, bw,
+                lambda p: self._dropout(p, cfg.dropout, train)))
+            y = self._dropout(blk.wo(y), cfg.dropout, train)
+            x = blk.ln(x + y)
+        else:
+            x = self._mha(blk, x, None, self_mask, train,
+                          kv_cached=(self_k, self_v))
         # meshed cross attention over every encoder level
         cblk = self.dec_cross[i]
         q = _split_heads(cblk.wq(x), h)
@@ -256,7 +267,8 @@ class M2Captioner(nn.Module):
         return x + self.pe[t_rows][:, None, :].astype(cfg.dtype)
 
     def step(self, it, feats, state, train: bool = False,
-             logsoftmax: bool = True, uniform_t: bool = False):
+             logsoftmax: bool = True, uniform_t: bool = False,
+             beam_width: int = 0):
         cfg = self.cfg
         h = cfg.num_att_heads
         t_rows = state['t']                     # per-row positions
@@ -278,6 +290,20 @@ class M2Captioner(nn.Module):
                     cache, new, t0, axis=-2)
             return cache.at[rows, :, t_rows, :].set(new[:, :, 0, :])
 
+        anc_ctx = None
+        if beam_width:
+            slot = (rows % beam_width).astype(jnp.int32)
+            if uniform_t:
+                anc = jax.lax.dynamic_update_slice_in_dim(
+                    state['anc'], slot[:, None], t0, axis=1)
+                time_mask = jnp.broadcast_to(
+                    (jnp.arange(T) <= t0)[None], (B, T))
+            else:
+                anc = state['anc'].at[rows, t_rows].set(slot)
+                time_mask = jnp.arange(T)[None, :] <= t_rows[:, None]
+            new_state['anc'] = anc
+            anc_ctx = (anc, time_mask, beam_width)
+
         src_mask = (feats['att_masks'][:, None, None, :]
                     if feats['att_masks'] is not None else None)
         for i in range(cfg.N_dec):
@@ -289,7 +315,7 @@ class M2Captioner(nn.Module):
             new_state['k%d' % i] = k_cache
             new_state['v%d' % i] = v_cache
             x = self._decoder_layer(i, x, k_cache, v_cache, self_mask,
-                                    feats, src_mask, train)
+                                    feats, src_mask, train, anc_ctx=anc_ctx)
         logits = self.generator(x[:, 0]).astype(jnp.float32)
         state = new_state
         if logsoftmax:

@@ -82,6 +82,38 @@ def _merge_heads(x):
     return x.reshape(*lead, T, h * dk)
 
 
+def _attend_beam(q, k, v, anc, time_mask, bw, dropout_fn):
+    """Decode-step attention through a beam-ancestry table.
+
+    Physical K/V slots never move during beam search; instead each row
+    carries ``anc[row, j]`` = the slot (within its block of ``bw``
+    consecutive rows) holding its lineage's time-``j`` entry.  Scores are
+    computed against every sibling slot and the ancestor's lane is
+    selected with an exact mask, so the softmax sees exactly the same
+    values as attending a physically reordered cache (non-selected lanes
+    contribute exp(-1e9) == 0 in f32).
+
+    q: [N, h, 1, dk]; k/v: [N, h, T, dk]; anc: [N, T] int32;
+    time_mask: [N, T] bool (valid past positions).
+    """
+    N, h, T, dk = k.shape
+    nb = N // bw
+    q4 = q.reshape(nb, bw, h, dk)
+    k5 = k.reshape(nb, bw, h, T, dk)
+    v5 = v.reshape(nb, bw, h, T, dk)
+    scores = jnp.einsum('bqhd,bshtd->bqhst', q4, k5) / jnp.sqrt(
+        jnp.asarray(dk, q.dtype))
+    sel = jax.nn.one_hot(anc.reshape(nb, bw, T), bw, dtype=bool)  # [b,q,t,s]
+    allowed = (jnp.moveaxis(sel, -1, -2) &
+               time_mask.reshape(nb, bw, 1, T))                   # [b,q,s,t]
+    scores = jnp.where(allowed[:, :, None], scores, _NEG_INF)
+    p = jax.nn.softmax(scores.reshape(nb, bw, h, bw * T).astype(jnp.float32),
+                       axis=-1).astype(q.dtype).reshape(nb, bw, h, bw, T)
+    p = dropout_fn(p)
+    out = jnp.einsum('bqhst,bshtd->bqhd', p, v5)
+    return out.reshape(N, h, 1, dk)
+
+
 def _attend(q, k, v, mask, dropout_fn):
     """Scaled dot product attention (reference TransformerModel.py:152-162).
 
@@ -111,6 +143,9 @@ class FFN(nn.Module):
 class TransformerCaptioner(nn.Module):
     """Encoder-decoder captioner exposing the engine step protocol."""
     cfg: ModelConfig
+    # beam search never physically reorders this model's KV caches; it
+    # reorders an ancestry table instead (engine/decoding.py beam_search)
+    SUPPORTS_BEAM_ANCESTRY = True
 
     def setup(self):
         cfg = self.cfg
@@ -231,14 +266,22 @@ class TransformerCaptioner(nn.Module):
         return state
 
     def step(self, it, feats, state, train: bool = False,
-             logsoftmax: bool = True, uniform_t: bool = False):
+             logsoftmax: bool = True, uniform_t: bool = False,
+             beam_width: int = 0):
         """Single cached decoder step (cachedTransformer.py:398-420).
 
         ``t`` is PER ROW (state['t']): diverse-beam groups are staggered in
         time, so rows of the same batched call can sit at different
         positions.  Callers that guarantee every row is at the same step
         (plain sampling, non-diverse beam) pass ``uniform_t=True`` to get
-        the cheaper dynamic-slice cache update instead of a row scatter."""
+        the cheaper dynamic-slice cache update instead of a row scatter.
+
+        ``beam_width > 0`` enables ancestry attention: the caller
+        (beam_search) never physically reorders the K/V caches — rows are
+        grouped in blocks of ``beam_width`` physical slots and
+        ``state['anc']`` maps each row's past positions to sibling slots.
+        This removes the dominant HBM traffic of beam search (a full
+        cache permute per step)."""
         cfg = self.cfg
         h = cfg.num_att_heads
         t_rows = state['t']                       # [B]
@@ -274,6 +317,17 @@ class TransformerCaptioner(nn.Module):
                     cache, new, t0, axis=-2)
             return cache.at[rows, :, t_rows, :].set(new[:, :, 0, :])
 
+        if beam_width:
+            slot = (rows % beam_width).astype(jnp.int32)
+            if uniform_t:
+                anc = jax.lax.dynamic_update_slice_in_dim(
+                    state['anc'], slot[:, None], t0, axis=1)
+                time_mask = jnp.broadcast_to((pos_ids <= t0)[None], (B, T))
+            else:
+                anc = state['anc'].at[rows, t_rows].set(slot)
+                time_mask = pos_ids[None, :] <= t_rows[:, None]
+            new_state['anc'] = anc
+
         for i in range(cfg.N_dec):
             proj = self.dec_self[i]
             y = self.dec_norm1[i](x)
@@ -284,8 +338,14 @@ class TransformerCaptioner(nn.Module):
             v_cache = _cache_write(state['v%d' % i], v_new)
             new_state['k%d' % i] = k_cache
             new_state['v%d' % i] = v_cache
-            y = proj.wo(_merge_heads(_attend(q, k_cache, v_cache, self_mask,
-                                             self._attn_dropout(train))))
+            if beam_width:
+                y = proj.wo(_merge_heads(_attend_beam(
+                    q, k_cache, v_cache, anc, time_mask, beam_width,
+                    self._attn_dropout(train))))
+            else:
+                y = proj.wo(_merge_heads(_attend(
+                    q, k_cache, v_cache, self_mask,
+                    self._attn_dropout(train))))
             x = x + self._dropout(y, cfg.dropout, train)
 
             sproj = self.dec_src[i]
