@@ -1,6 +1,8 @@
 """Decoding engine tests: golden semantics vs an independent numpy replica
 of the reference algorithms (CaptionModel.py:35-209,370-407)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -269,3 +271,46 @@ def test_diverse_sample_shapes_and_groups_differ():
     # with a large diversity penalty later groups should diverge
     assert not (seq[0, 0] == seq[0, 1]).all() or \
         not (seq[0, 0] == seq[0, 2]).all()
+
+
+@pytest.mark.parametrize('model', ['transformer', 'bert', 'm2transformer'])
+def test_ancestry_beam_equals_physical_reorder(model):
+    """Beam search through the ancestry-indexed KV caches must produce the
+    SAME captions and pool scores as physically reordering the caches
+    (engine/decoding.py beam_search use_anc branch vs reorder_state)."""
+    from types import SimpleNamespace
+    from captioning_tpu.models import setup as jx_setup
+
+    vocab = {str(i): 'w%d' % i for i in range(1, 21)}
+    opt = SimpleNamespace(
+        caption_model=model, vocab_size=20, input_encoding_size=16,
+        rnn_size=24, num_layers=1, drop_prob_lm=0.5, fc_feat_size=10,
+        att_feat_size=12, att_hid_size=8, seq_length=7, max_length=7,
+        rnn_type='lstm', logit_layers=1, use_bn=0, vocab=vocab,
+        seq_per_img=1, compute_dtype='float32',
+        N_enc=2, N_dec=2, d_model=16, d_ff=32, num_att_heads=4, dropout=0.1)
+    cap = jx_setup(opt, vocab)
+    variables = cap.init_params(jax.random.PRNGKey(0), att_len=5)
+    rng = np.random.RandomState(3)
+    fc = jnp.asarray(rng.randn(3, 10).astype('float32'))
+    att = jnp.asarray(rng.randn(3, 5, 12).astype('float32'))
+
+    outs = []
+    for use_anc in (True, False):
+        dm = cap.bind(variables, train=False)
+        if not use_anc:
+            dm = dataclasses.replace(dm, beam_init=None, beam_reorder=None)
+        for opt_b in ({'beam_size': 4, 'group_size': 1, 'sample_n': 1},
+                      {'beam_size': 4, 'group_size': 2, 'sample_n': 1,
+                       'diversity_lambda': 0.5}):
+            seq, lps, done = decoding.sample_beam(
+                dm, fc, att, None, jax.random.PRNGKey(0), opt_b)
+            outs.append((np.asarray(seq), np.asarray(lps),
+                         np.asarray(done['seq']), np.asarray(done['p'])))
+    n = len(outs) // 2
+    for i in range(n):
+        a, b = outs[i], outs[n + i]
+        assert (a[0] == b[0]).all(), (model, i, 'seq')
+        assert (a[2] == b[2]).all(), (model, i, 'pool seq')
+        assert np.allclose(a[3], b[3], atol=1e-5), (model, i, 'pool p')
+        assert np.allclose(a[1], b[1], atol=1e-5), (model, i, 'logps')
