@@ -87,3 +87,19 @@ def test_pallas_attention_in_model():
                               {'sample_method': 'greedy'})
     assert (np.asarray(s0) == np.asarray(s1)).all()
     assert np.allclose(np.asarray(lp0), np.asarray(lp1), atol=1e-4)
+
+
+def test_mha_step_fused_matches_ref():
+    """Fused decode-step MHA kernel (interpret mode) vs the jnp path."""
+    from captioning_tpu.ops.mha_step import mha_step_fused, mha_step_ref
+    rng = np.random.RandomState(0)
+    N, h, T, dk = 16, 4, 9, 8
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype('float32'))
+    q, kn, vn = mk(N, h, dk), mk(N, h, dk), mk(N, h, dk)
+    kc, vc = mk(N, h, T, dk), mk(N, h, T, dk)
+    for t in (0, 4, T - 1):
+        o1, k1, v1 = mha_step_ref(q, kn, vn, kc, vc, t)
+        o2, k2, v2 = mha_step_fused(q, kn, vn, kc, vc, t, interpret=True)
+        assert float(jnp.abs(o1 - o2).max()) < 1e-5, t
+        assert float(jnp.abs(k1 - k2).max()) < 1e-6, t
+        assert float(jnp.abs(v1 - v2).max()) < 1e-6, t
