@@ -119,7 +119,7 @@ def main(params):
     print('BPE vocab size:', len(vocab))
 
     from prepro_labels import encode_captions
-    L, s_ix, e_ix, lens = encode_captions(imgs, params, wtoi)
+    L, s_ix, e_ix, lens = encode_captions(imgs, params['max_length'], wtoi)
 
     with h5py.File(params['output_h5'] + '_label.h5', 'w') as f:
         f.create_dataset('labels', dtype='uint32', data=L)
