@@ -1,37 +1,39 @@
-"""n-gram distinctness ratios (port of
-``/root/reference/captioning/utils/div_utils.py``)."""
+"""n-gram distinctness ratios for multi-caption diversity evaluation.
+
+Behavioral port of ``/root/reference/captioning/utils/div_utils.py``:
+
+* ``compute_div_n``: per image, |unique n-grams| / total tokens, averaged
+  over images (Div-1/Div-2 in the diversity paper).
+* ``compute_global_div_n``: pooled over ALL images' captions; for n == 1
+  the raw unique-unigram COUNT is reported (the reference's gDiv-1
+  convention), otherwise the pooled ratio.
+"""
 
 import numpy as np
 
 
-def find_ngrams(input_list, n):
-    return zip(*[input_list[i:] for i in range(n)])
+def _ngram_set_and_len(captions, n):
+    """Unique n-gram tuples and total token count over a caption list."""
+    grams = set()
+    n_tokens = 0
+    for caption in captions:
+        toks = caption.split()
+        n_tokens += len(toks)
+        grams.update(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+    return grams, n_tokens
 
 
 def compute_div_n(caps, n=1):
-    aggr_div = []
-    for k in caps:
-        all_ngrams = set()
-        lenT = 0.
-        for c in caps[k]:
-            tkns = c.split()
-            lenT += len(tkns)
-            all_ngrams.update(find_ngrams(tkns, n))
-        aggr_div.append(float(len(all_ngrams)) / (1e-6 + float(lenT)))
-    return np.array(aggr_div).mean(), np.array(aggr_div)
+    ratios = []
+    for image_id in caps:
+        grams, n_tokens = _ngram_set_and_len(caps[image_id], n)
+        ratios.append(len(grams) / (1e-6 + n_tokens))
+    ratios = np.asarray(ratios, dtype=np.float64)
+    return ratios.mean(), ratios
 
 
 def compute_global_div_n(caps, n=1):
-    aggr_div = []
-    all_ngrams = set()
-    lenT = 0.
-    for k in caps:
-        for c in caps[k]:
-            tkns = c.split()
-            lenT += len(tkns)
-            all_ngrams.update(find_ngrams(tkns, n))
-    if n == 1:
-        aggr_div.append(float(len(all_ngrams)))
-    else:
-        aggr_div.append(float(len(all_ngrams)) / (1e-6 + float(lenT)))
-    return aggr_div[0], np.repeat(np.array(aggr_div), len(caps))
+    all_caps = [c for image_id in caps for c in caps[image_id]]
+    grams, n_tokens = _ngram_set_and_len(all_caps, n)
+    score = float(len(grams)) if n == 1 else len(grams) / (1e-6 + n_tokens)
+    return score, np.full(len(caps), score, dtype=np.float64)
