@@ -152,3 +152,18 @@ def save_checkpoint(opt, params, infos, opt_state, histories=None, append=''):
     if histories:
         with open(os.path.join(opt.checkpoint_path, 'histories_' + opt.id + '%s.pkl' % append), 'wb') as f:
             pickle_dump(histories, f)
+
+
+def enable_compilation_cache(cache_dir: str):
+    """Persistent XLA compilation cache (opts --compilation_cache_dir).
+
+    The batched decode programs compile in minutes cold but load in
+    seconds once cached; pointing every run of a project at one directory
+    amortizes that across train/eval invocations.
+    """
+    if not cache_dir:
+        return
+    import jax
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)

@@ -165,6 +165,10 @@ def build_parser():
                              'CIDEr-D reward + grad) into one jitted '
                              'program using the on-device scorer; requires '
                              'a pure-CIDEr reward')
+    parser.add_argument('--compilation_cache_dir', type=str, default='',
+                        help='persistent XLA compilation cache directory; '
+                             'large decode programs compile in minutes cold '
+                             'but load in seconds warm. Empty = disabled.')
 
     # config
     parser.add_argument('--cfg', type=str, default=None)
@@ -219,6 +223,8 @@ def parse_opt(args_list=None):
 def add_eval_options(parser):
     """Options specific to tools/eval.py (reference opts.py:280-324)."""
     parser.add_argument('--batch_size', type=int, default=0)
+    parser.add_argument('--compilation_cache_dir', type=str, default='',
+                        help='persistent XLA compilation cache directory')
     parser.add_argument('--num_images', type=int, default=-1)
     parser.add_argument('--language_eval', type=int, default=0)
     parser.add_argument('--dump_images', type=int, default=1)

@@ -35,6 +35,7 @@ def main():
     opts.add_eval_options(parser)
     opts.add_diversity_opts(parser)
     opt = parser.parse_args()
+    utils.enable_compilation_cache(opt.compilation_cache_dir)
 
     with open(opt.infos_path, 'rb') as f:
         infos = utils.pickle_load(f)

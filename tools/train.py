@@ -82,6 +82,7 @@ def _maybe_mesh(opt):
 
 
 def train(opt):
+    utils.enable_compilation_cache(getattr(opt, 'compilation_cache_dir', ''))
     ################################
     # Build dataloader
     ################################
