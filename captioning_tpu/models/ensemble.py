@@ -49,24 +49,44 @@ class EnsembleCaptioner:
             return {'m%d' % i: dm.init_state(batch)
                     for i, dm in enumerate(dms)}
 
-        def step(it, feats, state, rng, logsoftmax=True, uniform_t=False):
+        def step(it, feats, state, rng, logsoftmax=True, uniform_t=False,
+                 beam_width=0):
             probs = None
             new_state = {}
             for i, dm in enumerate(dms):
+                # beam ancestry is per-member: only members whose caches
+                # were beam_init'ed attend through an ancestry table
+                bw = beam_width if dm.beam_init is not None else 0
                 lp, st = dm.step(it, feats['m%d' % i], state['m%d' % i],
-                                 rng, True, uniform_t=uniform_t)
+                                 rng, True, uniform_t=uniform_t,
+                                 beam_width=bw)
                 p = jnp.exp(lp) * weights[i]
                 probs = p if probs is None else probs + p
                 new_state['m%d' % i] = st
             logprobs = jnp.log(jnp.maximum(probs, 1e-38))
             return logprobs, new_state
 
+        def beam_init(state, bdash):
+            return {'m%d' % i: (dm.beam_init(state['m%d' % i], bdash)
+                                if dm.beam_init is not None
+                                else state['m%d' % i])
+                    for i, dm in enumerate(dms)}
+
+        def beam_reorder(state, flat_idx):
+            from ..engine.decoding import reorder_state
+            return {'m%d' % i: (dm.beam_reorder(state['m%d' % i], flat_idx)
+                                if dm.beam_reorder is not None
+                                else reorder_state(state['m%d' % i],
+                                                   flat_idx))
+                    for i, dm in enumerate(dms)}
+
         cfg = self.cfg
         return DecodeModel(
             prepare=prepare, init_state=init_state, step=step,
             seq_length=cfg.seq_length, vocab_plus=cfg.vocab_size + 1,
             bos_idx=cfg.bos_idx, eos_idx=cfg.eos_idx, pad_idx=cfg.pad_idx,
-            unk_idx=self.unk_idx, bad_endings_ix=self.bad_endings_ix)
+            unk_idx=self.unk_idx, bad_endings_ix=self.bad_endings_ix,
+            beam_init=beam_init, beam_reorder=beam_reorder)
 
     # jitted eval-time entry points mirroring Captioner
     def _freeze_opt(self, opt):

@@ -176,3 +176,34 @@ def test_batchnorm_stats_update_in_xe_step():
                             1e-3, 0.0, jax.random.PRNGKey(1))
     after = jax.tree.leaves(jax.device_get(v2['batch_stats']))
     assert any(not np.allclose(a, b) for a, b in zip(before, after))
+
+
+def test_mixed_ensemble_ancestry_beam_equals_physical():
+    """Ensemble beam with per-member ancestry (transformer member) matches
+    the all-physical-reorder path exactly, including diverse groups."""
+    import dataclasses
+    from tests.test_reference_parity import mkopt, VOCAB
+    from captioning_tpu.models import setup as jx_setup
+    from captioning_tpu.models.ensemble import EnsembleCaptioner
+    from captioning_tpu.engine import decoding
+
+    c1 = jx_setup(mkopt('updown', num_layers=2), VOCAB)
+    c2 = jx_setup(mkopt('transformer'), VOCAB)
+    v1 = c1.init_params(jax.random.PRNGKey(0), att_len=5)
+    v2 = c2.init_params(jax.random.PRNGKey(1), att_len=5)
+    ens = EnsembleCaptioner([c1, c2], [1.0, 1.0])
+    rng = np.random.RandomState(0)
+    fc = jnp.asarray(rng.randn(2, 10).astype('f4'))
+    att = jnp.asarray(rng.randn(2, 5, 12).astype('f4'))
+    bo = {'beam_size': 4, 'group_size': 2, 'diversity_lambda': 0.5,
+          'sample_n': 1}
+
+    dm = ens.bind([v1, v2])
+    s1, _, d1 = decoding.sample_beam(dm, fc, att, None,
+                                     jax.random.PRNGKey(0), bo)
+    dm0 = dataclasses.replace(dm, beam_init=None, beam_reorder=None)
+    s2, _, d2 = decoding.sample_beam(dm0, fc, att, None,
+                                     jax.random.PRNGKey(0), bo)
+    assert (np.asarray(s1) == np.asarray(s2)).all()
+    assert (np.asarray(d1['seq']) == np.asarray(d2['seq'])).all()
+    assert np.allclose(np.asarray(d1['p']), np.asarray(d2['p']), atol=1e-5)
