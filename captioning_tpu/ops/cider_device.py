@@ -28,7 +28,6 @@ assumption the C++ scorer makes).
 from __future__ import annotations
 
 import pickle
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

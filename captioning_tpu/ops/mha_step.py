@@ -41,8 +41,6 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-from .attention import auto_interpret
-
 _NEG_INF = -1e9
 
 

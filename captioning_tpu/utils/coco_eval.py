@@ -29,7 +29,7 @@ from typing import Dict, List
 
 import numpy as np
 
-from .cider_scorer import Bleu, Cider, CiderD, precook
+from .cider_scorer import Bleu, Cider
 
 # PTBTokenizer's removed punctuation (coco-caption tokenizer.py PUNCTUATIONS)
 _PUNCT = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
