@@ -119,3 +119,30 @@ def test_eval_cli_and_ensemble(trained, monkeypatch):
     assert os.path.isfile('vis/vis.json')
     preds = json.load(open('vis/vis.json'))
     assert len(preds) == 4
+
+
+def test_eval_cli_annfile_and_only_lang_eval(trained, monkeypatch):
+    """--annfile points language eval at a custom annotations json;
+    --only_lang_eval re-scores the saved predictions without decoding."""
+    ds, ckpt, root = trained
+    monkeypatch.chdir(root)
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS='cpu', PYTHONPATH=repo)
+    base = [sys.executable, os.path.join(repo, 'tools', 'eval.py'),
+            '--model', os.path.join(ckpt, 'model.npz'),
+            '--infos_path', os.path.join(ckpt, 'infos_ev.pkl'),
+            '--split', 'val', '--num_images', '4', '--language_eval', '1',
+            '--annfile', ds.annotations, '--dump_images', '0',
+            '--max_length', '6', '--id', 'cli_ann']
+    r = subprocess.run(base + ['--force', '1'], capture_output=True,
+                       text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.isfile('eval_results/cli_ann_val.json')
+    scores1 = json.load(open('eval_results/cli_ann_val.json'))
+
+    r2 = subprocess.run(base + ['--only_lang_eval', '1', '--force', '1'],
+                        capture_output=True, text=True, env=env, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    scores2 = json.load(open('eval_results/cli_ann_val.json'))
+    assert scores1['overall']['CIDEr'] == scores2['overall']['CIDEr']

@@ -30,6 +30,11 @@ def main():
     parser.add_argument('--infos_path', type=str, default='',
                         help='path to infos pkl to evaluate')
     parser.add_argument('--only_lang_eval', type=int, default=0)
+    parser.add_argument('--annfile', type=str, default='',
+                        help='explicit coco-format annotations json for '
+                             'language eval (overrides the coco/f30k path '
+                             'inference from input_json; needed for custom '
+                             'datasets)')
     parser.add_argument('--force', type=int, default=0)
     parser.add_argument('--device', type=str, default='tpu')
     opts.add_eval_options(parser)
@@ -71,7 +76,8 @@ def main():
         with open(pred_fn, 'rb') as f:
             predictions, n_predictions = pickle.load(f)
         lang_stats = eval_utils.language_eval(
-            opt.input_json, predictions, n_predictions, vars(opt), opt.split)
+            opt.annfile or opt.input_json, predictions, n_predictions,
+            vars(opt), opt.split)
         print(lang_stats)
         return
 
@@ -106,7 +112,7 @@ def main():
     # use the vocab in infos file (reference eval.py:109-111)
     loader.dataset.ix_to_word = infos['vocab']
 
-    opt.dataset = opt.input_json
+    opt.dataset = opt.annfile or opt.input_json
     loss, split_predictions, lang_stats = eval_utils.eval_split(
         captioner, variables, loader, vars(opt))
 
