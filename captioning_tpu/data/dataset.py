@@ -54,6 +54,7 @@ class Dataset:
     def __init__(self, opt):
         self.opt = opt
         self.seq_per_img = opt.seq_per_img
+        self.rng_seed = int(getattr(opt, 'data_rng_seed', 123) or 123)
 
         self.use_fc = getattr(opt, 'use_fc', True)
         self.use_att = getattr(opt, 'use_att', True)
@@ -120,20 +121,31 @@ class Dataset:
         else:
             self.att_buckets = sorted(int(s) for s in sizes)
 
-    def get_captions(self, ix, seq_per_img):
-        """Sample seq_per_img captions (reference :163-180)."""
+    def get_captions(self, ix, seq_per_img, it_pos_now=0):
+        """Sample seq_per_img captions (reference :163-180).
+
+        Unlike the reference (global ``random`` module state, dataloader.py:
+        168-176), draws come from a private per-item Random keyed on
+        (loader seed, image index, iteration position): item loading is
+        deterministic under thread-pool scheduling, reproducible across
+        resume, and isolated from any other use of the global RNG.
+        """
         ix1 = self.label_start_ix[ix] - 1  # label_start_ix is 1-indexed
         ix2 = self.label_end_ix[ix] - 1
         ncap = ix2 - ix1 + 1
         assert ncap > 0, 'an image does not have any label.'
+        # mix (seed, ix, position) into one int (random.Random on py3.12
+        # accepts only scalar seeds)
+        mixed = (self.rng_seed * 1000003 + int(ix)) * 1000003 + int(it_pos_now)
+        rng = random.Random(mixed)
 
         if ncap < seq_per_img:
             seq = np.zeros([seq_per_img, self.seq_length], dtype='int')
             for q in range(seq_per_img):
-                ixl = random.randint(ix1, ix2)
+                ixl = rng.randint(ix1, ix2)
                 seq[q, :] = self.label[ixl, :self.seq_length]
         else:
-            ixl = random.randint(ix1, ix2 - seq_per_img + 1)
+            ixl = rng.randint(ix1, ix2 - seq_per_img + 1)
             seq = self.label[ixl: ixl + seq_per_img, :self.seq_length]
         return seq
 
@@ -171,7 +183,8 @@ class Dataset:
                 fc_feat = att_feat.mean(0)
         else:
             fc_feat = np.zeros((0,), dtype='float32')
-        seq = self.get_captions(ix, self.seq_per_img) if self.has_labels else None
+        seq = (self.get_captions(ix, self.seq_per_img, it_pos_now)
+               if self.has_labels else None)
         return (fc_feat, att_feat, seq, ix, it_pos_now, wrapped)
 
     def collate(self, batch: List[Any], split: str) -> Dict[str, Any]:
@@ -238,12 +251,20 @@ class Dataset:
 
 
 class MySampler:
-    """Resumable index sampler (reference dataloader.py:371-423)."""
+    """Resumable index sampler (reference dataloader.py:371-423).
 
-    def __init__(self, index_list, shuffle, wrap):
+    Shuffle permutations come from a private RandomState (seeded per
+    sampler), never the global numpy RNG: the producer thread draws
+    concurrently with user code, and tests must not depend on execution
+    order. The RNG state rides along in state_dict so epoch boundaries
+    after a resume replay the same permutations as an uninterrupted run.
+    """
+
+    def __init__(self, index_list, shuffle, wrap, seed=123):
         self.index_list = index_list
         self.shuffle = shuffle
         self.wrap = wrap
+        self._rng = npr.RandomState(seed)
         self._reset_iter()
 
     def next(self):
@@ -262,7 +283,7 @@ class MySampler:
 
     def _reset_iter(self):
         if self.shuffle:
-            rand_perm = npr.permutation(len(self.index_list))
+            rand_perm = self._rng.permutation(len(self.index_list))
             self._index_list = [self.index_list[_] for _ in rand_perm]
         else:
             self._index_list = self.index_list
@@ -276,10 +297,13 @@ class MySampler:
             return
         self._index_list = state_dict['index_list']
         self.iter_counter = state_dict['iter_counter']
+        if state_dict.get('rng_state') is not None:
+            self._rng.set_state(state_dict['rng_state'])
 
     def state_dict(self):
         return {'index_list': list(self._index_list),
-                'iter_counter': self.iter_counter}
+                'iter_counter': self.iter_counter,
+                'rng_state': self._rng.get_state()}
 
 
 class _SplitPipeline:
@@ -306,12 +330,28 @@ class _SplitPipeline:
         self._epoch_end = object()
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
+        self._error: Optional[BaseException] = None
         self._start_thread()
 
     def _start_thread(self):
         self._stop.clear()
-        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread = threading.Thread(target=self._produce_guarded,
+                                        daemon=True)
         self._thread.start()
+
+    def _produce_guarded(self):
+        # a producer that dies silently deadlocks every get_batch() caller;
+        # stash the exception and wake the consumer so it re-raises there
+        try:
+            self._produce()
+        except BaseException as e:  # noqa: BLE001 — relay to consumer
+            self._error = e
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(self._epoch_end, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     def _produce(self):
         while not self._stop.is_set():
@@ -345,8 +385,15 @@ class _SplitPipeline:
 
     def get_batch(self):
         while True:
+            if self._error is not None:
+                raise RuntimeError('data producer thread failed for split %r'
+                                   % self.split) from self._error
             item = self._queue.get()
             if item is self._epoch_end:
+                if self._error is not None:
+                    raise RuntimeError(
+                        'data producer thread failed for split %r'
+                        % self.split) from self._error
                 if self._thread is not None and not self._thread.is_alive():
                     self._start_thread()
                 continue
@@ -366,6 +413,7 @@ class _SplitPipeline:
             self.sampler.load_state_dict(sampler_state)
         else:
             self.sampler._reset_iter()
+        self._error = None
         self._start_thread()
 
 
@@ -382,10 +430,12 @@ class DataLoader:
 
         self.pipelines: Dict[str, _SplitPipeline] = {}
         self._last_state: Dict[str, Dict] = {}
+        seed = self.dataset.rng_seed
         for split in ['train', 'val', 'test']:
             sampler = MySampler(self.dataset.split_ix[split],
                                 shuffle=(split == 'train'),
-                                wrap=(split == 'train'))
+                                wrap=(split == 'train'),
+                                seed=seed + len(split))
             self.pipelines[split] = _SplitPipeline(
                 self.dataset, sampler, split, self.batch_size, self._pool, depth)
             self._last_state[split] = sampler.state_dict()

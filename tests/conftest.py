@@ -20,3 +20,28 @@ import sys as _sys
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in _sys.path:
     _sys.path.insert(0, _REPO_ROOT)
+
+import random  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _hermetic_globals():
+    """Every test starts from the same global state.
+
+    Reseeds the process-wide RNGs and clears the reward-scorer singletons
+    so no test's outcome can depend on which tests ran before it (the
+    round-1 suite had an order-dependent failure traced to exactly this).
+    """
+    random.seed(1234)
+    np.random.seed(1234)
+    import captioning_tpu.utils.rewards as rewards
+    rewards.CiderD_scorer = None
+    rewards.Cider_scorer = None
+    rewards.Bleu_scorer = None
+    yield
+    rewards.CiderD_scorer = None
+    rewards.Cider_scorer = None
+    rewards.Bleu_scorer = None
