@@ -11,13 +11,15 @@ SPICE(Java)).  Native reimplementations:
 * BLEU-1..4: coco-caption BleuScorer semantics ('closest' length BP).
 * ROUGE-L: beta=1.2 LCS F-measure, max over refs.
 * CIDEr: corpus-df tf-idf, as in the cider submodule.
-* METEOR: simplified exact-match alignment variant (the reference uses the
-  Java METEOR 1.5 with synonym/paraphrase tables; this native version
-  implements the exact-match fragmentation formula with default weights
-  and is flagged as approximate in the output key ``METEOR``).
-* SPICE needs a Java scene-graph parser; it is gated: if the coco-caption
-  jar stack is available on disk it can be called, otherwise SPICE keys
-  are omitted.
+* METEOR: when the Java METEOR 1.5 jar is discoverable it is invoked via
+  subprocess and reported under the standard ``METEOR`` key; otherwise a
+  native exact+stem alignment approximation is reported as
+  ``METEOR_approx`` (never ``METEOR`` — the keys must not silently
+  disagree with reference-published numbers).
+* SPICE needs a Java scene-graph parser; it is gated: when the
+  coco-caption jar stack is discoverable it runs via subprocess
+  (``spice.py``) including the per-category breakdown, otherwise SPICE
+  keys are omitted.
 """
 
 from __future__ import annotations
@@ -72,31 +74,48 @@ def rouge_l(hyp: str, refs: List[str], beta: float = 1.2) -> float:
 
 
 def meteor_like(hyp: str, refs: List[str]) -> float:
-    """Exact-match METEOR (weights alpha=0.85, beta=0.2, gamma=0.6,
-    as METEOR 1.5 en defaults, minus stem/synonym/paraphrase modules)."""
-    alpha, beta, gamma = 0.85, 0.2, 0.6
+    """Native METEOR approximation: exact + Porter-stem alignment stages
+    with METEOR 1.5 en parameters (alpha=0.85, beta=0.2, gamma=0.6; stem
+    matches weighted 0.6 like the jar's stem module), no synonym/paraphrase
+    tables. Reported as ``METEOR_approx``, never ``METEOR``."""
+    from .stemmer import porter_stem
+    alpha, beta, gamma, w_stem = 0.85, 0.2, 0.6, 0.6
     h = hyp.split()
+    h_stem = [porter_stem(w) for w in h]
     best = 0.0
     for ref in refs:
         r = ref.split()
-        # greedy left-to-right alignment on exact matches
-        used = [False] * len(r)
-        matches = []  # (h_pos, r_pos)
+        r_stem = [porter_stem(w) for w in r]
+        # two-stage greedy alignment: all exact matches first, then stem
+        # matches over the leftovers (METEOR applies matchers by priority)
+        used_h = [False] * len(h)
+        used_r = [False] * len(r)
+        matches = []  # (h_pos, r_pos, weight)
         for i, w in enumerate(h):
             for j, rw in enumerate(r):
-                if not used[j] and w == rw:
-                    used[j] = True
-                    matches.append((i, j))
+                if not used_r[j] and w == rw:
+                    used_h[i] = used_r[j] = True
+                    matches.append((i, j, 1.0))
+                    break
+        for i, ws in enumerate(h_stem):
+            if used_h[i]:
+                continue
+            for j, rs in enumerate(r_stem):
+                if not used_r[j] and ws == rs:
+                    used_h[i] = used_r[j] = True
+                    matches.append((i, j, w_stem))
                     break
         m = len(matches)
         if m == 0:
             continue
-        p = m / max(len(h), 1)
-        q = m / max(len(r), 1)
+        mw = sum(w for _, _, w in matches)
+        p = mw / max(len(h), 1)
+        q = mw / max(len(r), 1)
         f_mean = p * q / (alpha * p + (1 - alpha) * q)
-        # chunks: contiguous in both h and r
+        # chunks: contiguous runs in both h and r over the aligned pairs
+        matches.sort()
         chunks = 1
-        for (i1, j1), (i2, j2) in zip(matches, matches[1:]):
+        for (i1, j1, _), (i2, j2, _) in zip(matches, matches[1:]):
             if not (i2 == i1 + 1 and j2 == j1 + 1):
                 chunks += 1
         frag = chunks / m
@@ -134,11 +153,23 @@ def evaluate_captions(gts: Dict[int, List[str]], res: Dict[int, List[str]],
     for idx, i in enumerate(ids):
         img_to_eval[i]['ROUGE_L'] = rl[idx]
 
-    # METEOR (approximate, see module docstring)
-    mt = [meteor_like(res[i][0], gts[i]) for i in ids]
-    overall['METEOR'] = float(np.mean(mt))
-    for idx, i in enumerate(ids):
-        img_to_eval[i]['METEOR'] = mt[idx]
+    # METEOR: real jar when discoverable, else the honest approximation key
+    from .meteor import find_meteor_jar
+    if find_meteor_jar():
+        from .meteor import MeteorScorer
+        scorer = MeteorScorer()
+        try:
+            m_mean, m_scores = scorer.compute_score(gts, res)
+        finally:
+            scorer.close()
+        overall['METEOR'] = m_mean
+        for idx, i in enumerate(ids):
+            img_to_eval[i]['METEOR'] = m_scores[idx]
+    else:
+        mt = [meteor_like(res[i][0], gts[i]) for i in ids]
+        overall['METEOR_approx'] = float(np.mean(mt))
+        for idx, i in enumerate(ids):
+            img_to_eval[i]['METEOR_approx'] = mt[idx]
 
     # CIDEr (corpus df)
     cider = Cider(df='corpus')
@@ -147,6 +178,16 @@ def evaluate_captions(gts: Dict[int, List[str]], res: Dict[int, List[str]],
     overall['CIDEr'] = c_mean
     for idx, i in enumerate(ids):
         img_to_eval[i]['CIDEr'] = float(c_scores[idx])
+
+    # SPICE: jar-gated (reference eval_utils.py:96-99 reads per-category
+    # {'f': ...} dicts out of imgToEval — same shape here)
+    from .spice import find_spice_jar
+    if find_spice_jar():
+        from .spice import SpiceScorer
+        sp_mean, sp_scores = SpiceScorer().compute_score(gts, res)
+        overall['SPICE'] = sp_mean
+        for idx, i in enumerate(ids):
+            img_to_eval[i]['SPICE'] = sp_scores[idx]
 
     return overall, img_to_eval
 

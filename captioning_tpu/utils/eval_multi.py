@@ -27,13 +27,44 @@ def _caps_by_id(preds_n):
 
 
 def eval_allspice(dataset, preds_n, model_id, split):
-    """AllSPICE needs the Java SPICE jar; gated (returns None without it)."""
-    jar = 'coco-caption/pycocoevalcap/spice/spice-1.0.jar'
-    if not os.path.isfile(jar):
+    """Union-caption SPICE over the n samples per image (reference
+    eval_multi.py:36-69 via COCOEvalCapSpice).
+
+    Jar-gated: returns None cleanly when the SPICE jar is not discoverable.
+    With a jar, each image's n captions are scored as one multi-sentence
+    test input — the scene-graph parser unions tuples across sentences,
+    which is exactly the AllSPICE semantics.
+    """
+    from .spice import find_spice_jar
+    if not find_spice_jar():
         print('Warning: SPICE jar not available; AllSPICE skipped')
         return None
-    raise NotImplementedError(
-        'AllSPICE via external SPICE jar is not wired up yet')
+    from .eval_utils import getCOCO
+    from .spice import SpiceScorer
+    coco = getCOCO(dataset)
+    valids = coco.valid_ids
+
+    preds_filt_n = [p for p in preds_n if p['image_id'] in valids]
+    print('using %d/%d predictions_n' % (len(preds_filt_n), len(preds_n)))
+    caps_by_id = _caps_by_id(preds_filt_n)
+    if not caps_by_id:
+        return None
+    ids = list(caps_by_id.keys())
+    res = {i: [ptb_tokenize(d['caption']) for d in caps_by_id[i]]
+           for i in ids}
+    gts = {i: [ptb_tokenize(c) for c in coco.gts_for([i])[i]] for i in ids}
+
+    sp_mean, sp_scores = SpiceScorer().compute_score(gts, res)
+    out = {'AllSPICE': sp_mean}
+    img_to_eval = {}
+    for idx, i in enumerate(ids):
+        img_to_eval[i] = {'image_id': i, 'SPICE': sp_scores[idx],
+                          'caption': caps_by_id[i]}
+    for k in sp_scores[0].keys():
+        if k != 'All':
+            vals = np.array([s[k]['f'] for s in sp_scores])
+            out['AllSPICE_' + k] = float(vals[vals == vals].mean())
+    return {'overall': out, 'imgToEvalAllSPICE': img_to_eval}
 
 
 def eval_oracle(dataset, preds_n, model_id, split):

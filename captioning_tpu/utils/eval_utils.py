@@ -94,6 +94,15 @@ def language_eval(dataset, preds, preds_n, eval_kwargs, split):
     out['perplexity'] = mean_perplexity
     out['entropy'] = mean_entropy
 
+    # per-category SPICE breakdown (reference eval_utils.py:96-99); present
+    # only when the jar-gated SPICE ran
+    if img_to_eval and 'SPICE' in next(iter(img_to_eval.values())):
+        for k in next(iter(img_to_eval.values()))['SPICE'].keys():
+            if k != 'All':
+                vals = np.array([v['SPICE'][k]['f']
+                                 for v in img_to_eval.values()])
+                out['SPICE_' + k] = float(vals[vals == vals].mean())
+
     for p in preds_filt:
         img_to_eval[p['image_id']]['caption'] = p['caption']
 
@@ -230,6 +239,17 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
             if eval_kwargs.get('dump_path', 0) == 1:
                 entry['file_name'] = data['infos'][k]['file_path']
             predictions.append(entry)
+            if eval_kwargs.get('dump_images', 0) == 1:
+                # copy the source image for the vis/index.html viewer
+                # (reference eval_utils.py:188-191)
+                src = os.path.join(eval_kwargs.get('image_root', ''),
+                                   data['infos'][k].get('file_path', ''))
+                if os.path.isfile(src):
+                    import shutil
+                    os.makedirs('vis/imgs', exist_ok=True)
+                    dst = 'vis/imgs/img%d.jpg' % len(predictions)
+                    print('cp "%s" %s' % (src, dst))
+                    shutil.copyfile(src, dst)
             if verbose:
                 print('image %s: %s' % (entry['image_id'], entry['caption']))
 

@@ -43,7 +43,7 @@ def test_language_eval_native(trained, monkeypatch):
     ]
     out = eval_utils.language_eval(
         ds.annotations, preds, [], {'id': 'lv', 'eval_oracle': 0}, 'val')
-    for k in ('Bleu_1', 'Bleu_4', 'ROUGE_L', 'METEOR', 'CIDEr',
+    for k in ('Bleu_1', 'Bleu_4', 'ROUGE_L', 'METEOR_approx', 'CIDEr',
               'bad_count_rate', 'perplexity', 'entropy'):
         assert k in out, k
     assert os.path.isfile('eval_results/lv_val.json')
@@ -146,3 +146,34 @@ def test_eval_cli_annfile_and_only_lang_eval(trained, monkeypatch):
     assert r2.returncode == 0, r2.stderr[-3000:]
     scores2 = json.load(open('eval_results/cli_ann_val.json'))
     assert scores1['overall']['CIDEr'] == scores2['overall']['CIDEr']
+
+
+def test_dump_images_copies_to_vis(trained, monkeypatch):
+    """--dump_images copies source images to vis/imgs for the HTML viewer
+    (reference eval_utils.py:188-191)."""
+    ds, ckpt, root = trained
+    monkeypatch.chdir(root)
+    from captioning_tpu.data.dataset import DataLoader
+    from captioning_tpu.models import setup
+    from captioning_tpu.utils import eval_utils, misc
+
+    img_root = os.path.join(str(root), 'raw_imgs')
+    os.makedirs(img_root, exist_ok=True)
+    info = json.load(open(ds.input_json))
+    for img in info['images']:
+        with open(os.path.join(img_root, img['file_path']), 'wb') as f:
+            f.write(b'\xff\xd8fakejpg')
+
+    opt = make_opt(ds, 'newfc')
+    loader = DataLoader(opt)
+    opt.vocab_size = loader.vocab_size
+    opt.seq_length = loader.seq_length
+    cap = setup(opt, loader.get_vocab())
+    variables = misc.load_pytree(os.path.join(ckpt, 'model.npz'))
+    eval_kwargs = {'split': 'val', 'num_images': 2, 'language_eval': 0,
+                   'verbose': False, 'id': 'dmp', 'dataset': ds.annotations,
+                   'max_length': 6, 'beam_size': 1,
+                   'dump_images': 1, 'image_root': img_root}
+    eval_utils.eval_split(cap, variables, loader, eval_kwargs)
+    assert os.path.isfile('vis/imgs/img1.jpg')
+    assert os.path.isfile('vis/imgs/img2.jpg')
