@@ -99,11 +99,39 @@ def local_batch_slice(global_batch_size: int) -> slice:
     return slice(i * per, (i + 1) * per)
 
 
-def gather_predictions(predictions):
+def object_allgather(obj, allgather):
+    """All-gather an arbitrary picklable object across processes.
+
+    ``allgather(x)`` must be a lockstep collective returning x stacked over
+    processes (production: multihost_utils.process_allgather). Objects are
+    pickled to uint8 buffers and padded to the max size — the same
+    serialize-to-tensor scheme as detectron2 comm.all_gather, which the
+    reference uses for its DDP eval merge (train_pl.py:224-276,
+    misc.py:47-58). Returns the per-process objects as a list.
+    """
+    import pickle
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = np.asarray(allgather(np.array([data.size], np.int64)))
+    sizes = sizes.reshape(-1)
+    max_size = int(sizes.max())
+    padded = np.zeros(max_size, np.uint8)
+    padded[:data.size] = data
+    bufs = np.asarray(allgather(padded)).reshape(len(sizes), max_size)
+    return [pickle.loads(bufs[p, :int(sizes[p])].tobytes())
+            for p in range(len(sizes))]
+
+
+def gather_predictions(predictions, _allgather=None):
     """Host-side all-gather of per-process prediction lists (replaces
-    detectron2 comm.gather, train_pl.py:224-276)."""
-    if jax.process_count() == 1:
-        return predictions
-    from jax.experimental import multihost_utils
-    gathered = multihost_utils.process_allgather(predictions)
-    return gathered
+    detectron2 comm.gather, train_pl.py:224-276). Every host gets the
+    full concatenated list, ordered by process index."""
+    if _allgather is None:
+        if jax.process_count() == 1:
+            return predictions
+        from jax.experimental import multihost_utils
+        _allgather = multihost_utils.process_allgather
+    per_proc = object_allgather(predictions, _allgather)
+    merged = []
+    for chunk in per_proc:
+        merged.extend(chunk)
+    return merged
