@@ -109,6 +109,8 @@ def build_parser():
     # misc
     parser.add_argument('--id', type=str, default='')
     parser.add_argument('--train_only', type=int, default=0)
+    # second logger backend (reference train_pl.py:442-449); optional dep
+    parser.add_argument('--use_wandb', type=int, default=0)
 
     # Reward
     parser.add_argument('--cider_reward_weight', type=float, default=1)

@@ -123,9 +123,23 @@ def train(opt):
 
     tb_writer = SummaryWriter(opt.checkpoint_path) if SummaryWriter else None
 
+    # wandb (second logger backend, reference train_pl.py:442-449):
+    # optional dependency, enabled by --use_wandb, silent no-op otherwise
+    wandb_run = None
+    if getattr(opt, 'use_wandb', 0):
+        try:
+            import wandb
+            wandb_run = wandb.init(
+                name=opt.id, id=opt.id, project='captioning',
+                dir=opt.checkpoint_path, config=vars(opt), resume='allow')
+        except Exception as e:
+            print('wandb unavailable, continuing without it:', e)
+
     def tb_add(key, value, it):
         if tb_writer:
             tb_writer.add_scalar(key, value, it)
+        if wandb_run:
+            wandb_run.log({key: value}, step=it)
 
     ##########################
     # Build model
