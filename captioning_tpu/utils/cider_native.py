@@ -35,8 +35,13 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.isfile(_LIB_PATH):
-        if not build_native():
+    src = os.path.join(_NATIVE_DIR, 'cider_d.cpp')
+    stale = (os.path.isfile(src) and os.path.isfile(_LIB_PATH)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if not os.path.isfile(_LIB_PATH) or stale:
+        # never load a .so older than its source (make's dependency check
+        # is cheap and idempotent)
+        if not build_native() and not os.path.isfile(_LIB_PATH):
             return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.ciderd_new.restype = ctypes.c_void_p
