@@ -57,11 +57,14 @@ def main():
     beam_opt = {'beam_size': 5, 'sample_n': 1, 'group_size': 1,
                 'suppress_UNK': 1}
 
+    # want_logps=False is the production eval path (eval_split): entropy /
+    # perplexity sums are carried through the beam scan, no winner replay
     # compile (np.asarray forces real execution + transfer; plain
     # block_until_ready can be deferred by remoted backends)
     t0 = time.time()
     seq, _, _ = captioner.sample_beam_jit(variables, fc, att, am,
-                                          jax.random.PRNGKey(1), beam_opt)
+                                          jax.random.PRNGKey(1), beam_opt,
+                                          want_logps=False)
     np.asarray(seq)
     compile_s = time.time() - t0
 
@@ -70,7 +73,8 @@ def main():
     t0 = time.time()
     for i in range(iters):
         seq, _, _ = captioner.sample_beam_jit(variables, fc, att, am,
-                                              jax.random.PRNGKey(i), beam_opt)
+                                              jax.random.PRNGKey(i), beam_opt,
+                                              want_logps=False)
         np.asarray(seq)
     dt = time.time() - t0
     cps = B * iters / dt

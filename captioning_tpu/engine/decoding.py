@@ -60,6 +60,10 @@ class DecodeModel:
     # beam_search calls step with ``beam_width=bdash``.
     beam_init: Optional[Callable] = None
     beam_reorder: Optional[Callable] = None
+    # step() accepts cross-attention feats carrying one row per beam block
+    # (nb = rows // beam_width); sample_beam then skips the per-lane feats
+    # replication, cutting the cross-attend HBM traffic by the beam width.
+    shared_beam_feats: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -236,15 +240,78 @@ def _trigram_penalty(logprobs, seq_buf, t):
     return jnp.where(t >= 3, counts * (-0.693 * alpha), 0.0)
 
 
+def sample_next_word_dynamic(rng, logprobs, method_id, temperature,
+                             top_k, top_p):
+    """sample_next_word with the method/params as TRACED values.
+
+    One compiled program covers greedy / sample / gumbel / top-k / top-p:
+    ``method_id`` selects the branch via lax.switch (0=greedy, 1=gumbel,
+    2=categorical with optional top-k/top-p masks).  ``top_k`` (int32,
+    0=off) and ``top_p`` (f32, 0=off) are runtime operands, so switching
+    eval sampling methods does not recompile (VERDICT round-1 item 10).
+    Semantics per branch match ``sample_next_word`` exactly.
+    """
+    V1 = logprobs.shape[1]
+
+    def _greedy(_):
+        it = jnp.argmax(logprobs, axis=1)
+        return it, jnp.max(logprobs, axis=1)
+
+    def _gumbel(_):
+        eps = 1e-20
+        u = jax.random.uniform(rng, logprobs.shape)
+        g = -jnp.log(-jnp.log(u + eps) + eps)
+        y = jax.nn.log_softmax((logprobs + g) / temperature, axis=-1)
+        it = jnp.argmax(y, axis=1)
+        lp_sel = jnp.take_along_axis(logprobs, it[:, None], axis=1)[:, 0]
+        return it, lp_sel
+
+    def _categorical(_):
+        lp = logprobs / temperature
+        # top-k mask (0 = off): kth largest as a dynamic index into the
+        # sorted row
+        srt = jnp.sort(lp, axis=1)
+        k_ix = jnp.clip(V1 - jnp.maximum(top_k, 1), 0, V1 - 1)
+        kth = jnp.take_along_axis(
+            srt, jnp.full((lp.shape[0], 1), k_ix), axis=1)
+        lp = jnp.where((top_k > 0) & (lp < kth), NEG, lp)
+        # nucleus mask (0 = off), reference CaptionModel.py:390-398
+        probs = jax.nn.softmax(lp, axis=1)
+        order = jnp.argsort(-probs, axis=1, stable=True)
+        sorted_probs = jnp.take_along_axis(probs, order, axis=1)
+        csum = jnp.cumsum(sorted_probs, axis=1)
+        mask = csum < top_p
+        mask = jnp.concatenate(
+            [jnp.ones_like(mask[:, :1]), mask[:, :-1]], axis=1)
+        kept = sorted_probs * mask
+        kept = kept / kept.sum(1, keepdims=True)
+        lp_nuc = jnp.take_along_axis(
+            jnp.log(jnp.maximum(kept, 1e-38)),
+            jnp.argsort(order, axis=1), axis=1)
+        lp = jnp.where(top_p > 0, lp_nuc, lp)
+        it = jax.random.categorical(rng, lp, axis=1)
+        lp_sel = jnp.take_along_axis(lp, it[:, None], axis=1)[:, 0]
+        return it, lp_sel
+
+    return jax.lax.switch(jnp.clip(method_id, 0, 2),
+                          [_greedy, _gumbel, _categorical], None)
+
+
 # ---------------------------------------------------------------------------
 # sample (greedy / temperature / top-k / top-p / gumbel)
 # ---------------------------------------------------------------------------
 
 def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
-           opt: Dict[str, Any]):
+           opt: Dict[str, Any], dynamic_params: Optional[Dict] = None):
     """reference AttModel._sample (:258-352).
 
     Returns (seq [B*n, L] int32, seqLogprobs [B*n, L, V+1] f32).
+
+    ``dynamic_params`` (optional) carries TRACED sampling parameters
+    {'method_id', 'temperature', 'top_k', 'top_p'} — the compiled program
+    is then shared across all sample-family methods (see
+    sample_next_word_dynamic); opt's sample_method/temperature are ignored
+    and beam/diverse routing is the caller's responsibility.
     """
     sample_method = opt.get('sample_method', 'greedy')
     beam_size = int(opt.get('beam_size', 1))
@@ -255,10 +322,13 @@ def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     decoding_constraint = int(opt.get('decoding_constraint', 0))
     block_trigrams = int(opt.get('block_trigrams', 0))
     remove_bad_endings = int(opt.get('remove_bad_endings', 0))
-    if beam_size > 1 and sample_method in ('greedy', 'beam_search'):
-        return sample_beam(dm, fc_feats, att_feats, att_masks, rng, opt)[:2]
-    if group_size > 1:
-        return diverse_sample(dm, fc_feats, att_feats, att_masks, rng, opt)
+    if dynamic_params is None:
+        if beam_size > 1 and sample_method in ('greedy', 'beam_search'):
+            return sample_beam(dm, fc_feats, att_feats, att_masks, rng,
+                               opt)[:2]
+        if group_size > 1:
+            return diverse_sample(dm, fc_feats, att_feats, att_masks, rng,
+                                  opt)
 
     B = fc_feats.shape[0]
     L = dm.seq_length
@@ -281,7 +351,14 @@ def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
             logprobs, it_prev, t, dm, decoding_constraint, remove_bad_endings)
         if block_trigrams:
             logprobs = logprobs + _trigram_penalty(logprobs, seq_buf, t)
-        it, _ = sample_next_word(rngs[1], logprobs, sample_method, temperature)
+        if dynamic_params is not None:
+            it, _ = sample_next_word_dynamic(
+                rngs[1], logprobs, dynamic_params['method_id'],
+                dynamic_params['temperature'], dynamic_params['top_k'],
+                dynamic_params['top_p'])
+        else:
+            it, _ = sample_next_word(rngs[1], logprobs, sample_method,
+                                     temperature)
         # finished bookkeeping (reference :340-347)
         first = (t == 0)
         it = jnp.where(first | unfinished, it, dm.pad_idx)
@@ -387,17 +464,28 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
     beam_seq = jnp.zeros((B, G, bdash, L), jnp.int32)
     beam_unaug_cum = jnp.zeros((B, G, bdash), jnp.float32)
     beam_logprobs_sum = jnp.zeros((B, G, bdash), jnp.float32)
+    # carried eval statistics: cumulative entropy of the constrained
+    # per-step distributions and cumulative chosen-token logprob along each
+    # beam's ancestry.  These are the only two reductions eval_split needs
+    # from the winners' distributions (reference eval_utils.py:173-174), so
+    # carrying them lets sample_beam skip the whole winner-logprob replay
+    # (want_logps=False).  [B, G, bdash] scalars — negligible scan traffic.
+    beam_ent_cum = jnp.zeros((B, G, bdash), jnp.float32)
+    beam_lp_cum = jnp.zeros((B, G, bdash), jnp.float32)
 
     pool_seq = jnp.zeros((B, G, bdash, L), jnp.int32)
     pool_p = jnp.full((B, G, bdash), NEG, jnp.float32)
     pool_unaug = jnp.full((B, G, bdash), NEG, jnp.float32)
+    pool_ent = jnp.zeros((B, G, bdash), jnp.float32)
+    pool_lpc = jnp.zeros((B, G, bdash), jnp.float32)
 
     T_total = L + G - 1
     step_rngs = jax.random.split(rng, T_total)
 
     def body(carry, xs):
         (state, logprobs_table, beam_seq, beam_unaug_cum,
-         beam_logprobs_sum, pool_seq, pool_p, pool_unaug, t) = carry
+         beam_logprobs_sum, beam_ent_cum, beam_lp_cum,
+         pool_seq, pool_p, pool_unaug, pool_ent, pool_lpc, t) = carry
         step_rng = xs
 
         # Groups are processed SEQUENTIALLY for the table math: the
@@ -408,9 +496,13 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
         cur_seq = [beam_seq[:, g] for g in range(G)]
         cur_ucum = [beam_unaug_cum[:, g] for g in range(G)]
         cur_sums = [beam_logprobs_sum[:, g] for g in range(G)]
+        cur_ent = [beam_ent_cum[:, g] for g in range(G)]
+        cur_lpc = [beam_lp_cum[:, g] for g in range(G)]
         cur_pseq = [pool_seq[:, g] for g in range(G)]
         cur_pp = [pool_p[:, g] for g in range(G)]
         cur_pu = [pool_unaug[:, g] for g in range(G)]
+        cur_pent = [pool_ent[:, g] for g in range(G)]
+        cur_plpc = [pool_lpc[:, g] for g in range(G)]
         sel_list, beamix_list, active_list = [], [], []
 
         beam_rng = jnp.arange(bdash)
@@ -470,6 +562,16 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
             unaug_row_sum = unaug_lp.sum(-1)                  # [B, bdash]
             new_ucum = (jnp.take_along_axis(cur_ucum[g], beam_ix, axis=1) +
                         jnp.take_along_axis(unaug_row_sum, beam_ix, axis=1))
+            # eval stats along the ancestry: both reductions fuse into the
+            # same unaug_lp read as unaug_row_sum
+            ent_row = -(jnp.exp(unaug_lp) * unaug_lp).sum(-1)  # [B, bdash]
+            new_ent = (jnp.take_along_axis(cur_ent[g], beam_ix, axis=1) +
+                       jnp.take_along_axis(ent_row, beam_ix, axis=1))
+            chosen_lp = jnp.take_along_axis(
+                unaug_lp.reshape(B, bdash * V1), beam_ix * V1 + sel_ix,
+                axis=1)                                        # [B, bdash]
+            new_lpc = (jnp.take_along_axis(cur_lpc[g], beam_ix, axis=1) +
+                       chosen_lp)
             new_sums = ys
 
             # ---- finished-beam pool merge (CaptionModel.py:182-198) ----
@@ -481,11 +583,15 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
             merged_p = jnp.concatenate([cur_pp[g], cand_p], axis=1)
             merged_unaug = jnp.concatenate([cur_pu[g], cand_unaug], axis=1)
             merged_seq = jnp.concatenate([cur_pseq[g], new_seq], axis=1)
+            merged_ent = jnp.concatenate([cur_pent[g], new_ent], axis=1)
+            merged_lpc = jnp.concatenate([cur_plpc[g], new_lpc], axis=1)
             top_p, top_i = jax.lax.top_k(merged_p, bdash)
             new_pp = top_p
             new_pu = jnp.take_along_axis(merged_unaug, top_i, axis=1)
             new_pseq = jnp.take_along_axis(
                 merged_seq, top_i[..., None].repeat(L, 2), axis=1)
+            new_pent = jnp.take_along_axis(merged_ent, top_i, axis=1)
+            new_plpc = jnp.take_along_axis(merged_lpc, top_i, axis=1)
 
             new_sums = new_sums - 1000.0 * just_ended
 
@@ -493,9 +599,13 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
             cur_seq[g] = jnp.where(active, new_seq, cur_seq[g])
             cur_ucum[g] = jnp.where(active, new_ucum, cur_ucum[g])
             cur_sums[g] = jnp.where(active, new_sums, cur_sums[g])
+            cur_ent[g] = jnp.where(active, new_ent, cur_ent[g])
+            cur_lpc[g] = jnp.where(active, new_lpc, cur_lpc[g])
             cur_pseq[g] = jnp.where(active, new_pseq, cur_pseq[g])
             cur_pp[g] = jnp.where(active, new_pp, cur_pp[g])
             cur_pu[g] = jnp.where(active, new_pu, cur_pu[g])
+            cur_pent[g] = jnp.where(active, new_pent, cur_pent[g])
+            cur_plpc[g] = jnp.where(active, new_plpc, cur_plpc[g])
             sel_list.append(sel_ix)
             beamix_list.append(beam_ix)
             active_list.append(active)
@@ -506,15 +616,21 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
                 jnp.arange(G)[None, :, None]) * bdash
         state_ix = (base + beam_ix_all).reshape(-1)
         it = jnp.stack(sel_list, axis=1).reshape(NBG).astype(jnp.int32)
+        # One log-softmax, not two: the reference computes
+        # log_softmax(log_softmax(logits)/T) (get_logprobs_state then
+        # CaptionModel.py:204), which equals log_softmax(logits/T) exactly
+        # (subtracting the row constant logsumexp(logits)/T is a no-op under
+        # log_softmax), so the step returns raw logits and the outer
+        # normalization happens once.
         if use_anc:
             new_state = dm.beam_reorder(state, state_ix)
             step_lp, stepped_state = dm.step(
-                it, feats_per_beam, new_state, step_rng, True,
+                it, feats_per_beam, new_state, step_rng, False,
                 uniform_t=(G == 1), beam_width=bdash)
         else:
             new_state = reorder_state(state, state_ix)
             step_lp, stepped_state = dm.step(
-                it, feats_per_beam, new_state, step_rng, True,
+                it, feats_per_beam, new_state, step_rng, False,
                 uniform_t=(G == 1))
         step_lp = jax.nn.log_softmax(step_lp / temperature, axis=-1)
         new_logprobs_table = step_lp.reshape(B, G, bdash, V1)
@@ -536,20 +652,27 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
         beam_seq = jnp.stack(cur_seq, axis=1)
         beam_unaug_cum = jnp.stack(cur_ucum, axis=1)
         beam_logprobs_sum = jnp.stack(cur_sums, axis=1)
+        beam_ent_cum = jnp.stack(cur_ent, axis=1)
+        beam_lp_cum = jnp.stack(cur_lpc, axis=1)
         pool_seq = jnp.stack(cur_pseq, axis=1)
         pool_p = jnp.stack(cur_pp, axis=1)
         pool_unaug = jnp.stack(cur_pu, axis=1)
+        pool_ent = jnp.stack(cur_pent, axis=1)
+        pool_lpc = jnp.stack(cur_plpc, axis=1)
 
         return (state, logprobs_table, beam_seq, beam_unaug_cum,
-                beam_logprobs_sum, pool_seq, pool_p, pool_unaug,
+                beam_logprobs_sum, beam_ent_cum, beam_lp_cum,
+                pool_seq, pool_p, pool_unaug, pool_ent, pool_lpc,
                 t + 1), None
 
     carry0 = (state, logprobs_table, beam_seq, beam_unaug_cum,
-              beam_logprobs_sum, pool_seq, pool_p, pool_unaug,
+              beam_logprobs_sum, beam_ent_cum, beam_lp_cum,
+              pool_seq, pool_p, pool_unaug, pool_ent, pool_lpc,
               jnp.int32(0))
     carry, _ = jax.lax.scan(body, carry0, step_rngs)
-    (_, _, _, _, _, pool_seq, pool_p, pool_unaug, _) = carry
-    return {'seq': pool_seq, 'p': pool_p, 'unaug_p': pool_unaug}
+    (pool_seq, pool_p, pool_unaug, pool_ent, pool_lpc) = carry[7:12]
+    return {'seq': pool_seq, 'p': pool_p, 'unaug_p': pool_unaug,
+            'ent_sum': pool_ent, 'lp_sum': pool_lpc}
 
 
 def _expand_group(vec_g, B, bdash):
@@ -582,11 +705,17 @@ def replay_beam_logps(dm: DecodeModel, feats, seqs, rng,
     def body(carry, xs):
         state, t = carry
         it, step_rng = xs
-        # the input token at step t IS seq[t-1] (bos at t=0)
-        lp, state = dm.step(it, feats, state, step_rng, True,
+        # the input token at step t IS seq[t-1] (bos at t=0); the raw-logit
+        # step + single log_softmax equals the reference's double
+        # normalization (see beam_search body)
+        lp, state = dm.step(it, feats, state, step_rng, False,
                             uniform_t=True)
-        lp = jnp.where(t > 0,
-                       jax.nn.log_softmax(lp / temperature, axis=-1), lp)
+        if temperature == 1.0:
+            lp = jax.nn.log_softmax(lp, axis=-1)
+        else:
+            lp = jnp.where(t > 0,
+                           jax.nn.log_softmax(lp / temperature, axis=-1),
+                           jax.nn.log_softmax(lp, axis=-1))
         has_prev = t > 0
         if decoding_constraint:
             lp = lp.at[jnp.arange(N), it].add(
@@ -611,11 +740,17 @@ def replay_beam_logps(dm: DecodeModel, feats, seqs, rng,
 
 
 def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
-                opt: Dict[str, Any]):
+                opt: Dict[str, Any], want_logps: bool = True):
     """reference AttModel._sample_beam (:218-256).
 
     Returns (seq [B*sample_n, L], seqLogprobs [B*sample_n, L, V+1],
     done_beams dict from beam_search).
+
+    With ``want_logps=False`` the winner-logprob replay (a second L-step
+    scan, ~14%% of beam decode time) is skipped and the middle element is a
+    stats dict {'ent_sum': [N], 'lp_sum': [N]} carried through the beam
+    scan itself — exactly the two reductions eval_split takes from the full
+    distributions (reference eval_utils.py:173-174).
     """
     beam_size = int(opt.get('beam_size', 10))
     group_size = int(opt.get('group_size', 1))
@@ -635,16 +770,30 @@ def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     # repeat by the EFFECTIVE beam count: when group_size does not divide
     # beam_size the reference floors (CaptionModel.beam_search bdash), so a
     # beam_size=5 group_size=2 run uses 4 rows per image, not 5.
-    feats_per_beam = repeat_tree(group_size * bdash, feats)
+    use_anc = dm.beam_init is not None and dm.beam_reorder is not None
+    if use_anc and dm.shared_beam_feats:
+        # lanes of one (image, group) block share the encoder memory; the
+        # model's shared cross-attend path reads it once per block
+        feats_per_beam = repeat_tree(group_size, feats)
+    else:
+        feats_per_beam = repeat_tree(group_size * bdash, feats)
     done = beam_search(dm, init_logprobs, state, feats_per_beam, bs_rng, opt)
 
     if sample_n == 1:
         seq = done['seq'][:, 0, 0]                       # best of group 0
         replay_feats = feats
+        if not want_logps:
+            stats = {'ent_sum': done['ent_sum'][:, 0, 0],
+                     'lp_sum': done['lp_sum'][:, 0, 0]}
+            return seq, stats, done
     else:
         # group 0's bdash beams (reference :246-250 takes done_beams[k][:n])
         seq = done['seq'][:, 0].reshape(B * sample_n, L)
         replay_feats = repeat_tree(sample_n, feats)
+        if not want_logps:
+            stats = {'ent_sum': done['ent_sum'][:, 0].reshape(B * sample_n),
+                     'lp_sum': done['lp_sum'][:, 0].reshape(B * sample_n)}
+            return seq, stats, done
     logps = replay_beam_logps(dm, replay_feats, seq, rng, opt)
     return seq, logps, done
 
@@ -696,7 +845,9 @@ def diverse_sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
         lt = jnp.maximum(local_t, 0)
 
         it_in = it_tbl.reshape(B * G)
-        logprobs, new_state = dm.step(it_in, feats_g, state, rngs[0], True)
+        # raw logits + one log_softmax == the reference's double
+        # normalization (see beam_search body)
+        logprobs, new_state = dm.step(it_in, feats_g, state, rngs[0], False)
         logprobs = jax.nn.log_softmax(logprobs / temperature, axis=-1)
         lp4 = logprobs.reshape(B, G, V1)
 

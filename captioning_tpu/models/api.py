@@ -119,7 +119,9 @@ class Captioner:
             seq_length=cfg.seq_length, vocab_plus=cfg.vocab_size + 1,
             bos_idx=cfg.bos_idx, eos_idx=cfg.eos_idx, pad_idx=cfg.pad_idx,
             unk_idx=self.unk_idx, bad_endings_ix=self.bad_endings_ix,
-            beam_init=beam_init, beam_reorder=beam_reorder)
+            beam_init=beam_init, beam_reorder=beam_reorder,
+            shared_beam_feats=getattr(
+                type(module), 'SUPPORTS_SHARED_BEAM_FEATS', False))
 
     # -- teacher forcing -------------------------------------------------------
     def forward_tf(self, variables, fc_feats, att_feats, seq, att_masks,
@@ -225,17 +227,80 @@ class Captioner:
         return self._jit_cache[key](variables, fc_feats, att_feats,
                                     att_masks, rng)
 
-    def sample_beam_jit(self, variables, fc_feats, att_feats, att_masks, rng,
-                        opt: Dict[str, Any], train: bool = False):
-        """Jit-compiled sample_beam(); returns (seq, logps, done_beams)."""
+    @staticmethod
+    def _dynamic_sample_params(sample_method: str, temperature: float):
+        """Map a sample-family method string to traced operands for
+        sample_next_word_dynamic (0=greedy, 1=gumbel, 2=categorical)."""
+        import numpy as _np
+        method_id, top_k, top_p = 2, 0, 0.0
+        if sample_method == 'greedy':
+            method_id = 0
+        elif sample_method == 'gumbel':
+            method_id = 1
+        elif sample_method.startswith('top'):
+            top_num = float(sample_method[3:])
+            if 0 < top_num < 1:
+                top_p = top_num
+            else:
+                top_k = int(top_num)
+        elif sample_method != 'sample':
+            return None  # not a sample-family method
+        return {'method_id': jnp.int32(method_id),
+                'temperature': jnp.float32(temperature),
+                'top_k': jnp.int32(top_k), 'top_p': jnp.float32(top_p)}
+
+    def sample_dynamic_jit(self, variables, fc_feats, att_feats, att_masks,
+                           rng, opt: Dict[str, Any], train: bool = False):
+        """sample() with the sampling method/params as traced operands: ONE
+        compiled program serves greedy/sample/gumbel/top-k/top-p at equal
+        shapes and constraint flags (compile-time hygiene, VERDICT item 10).
+
+        Falls back to sample_jit for methods outside the shared family
+        (beam routing, diverse groups).
+        """
         from ..engine import decoding
-        key = ('beam', self._freeze_opt(opt), train)
+        sample_method = opt.get('sample_method', 'greedy')
+        beam_size = int(opt.get('beam_size', 1) or 1)
+        group_size = int(opt.get('group_size', 1) or 1)
+        dyn = self._dynamic_sample_params(
+            sample_method, float(opt.get('temperature', 1.0) or 1.0))
+        if dyn is None or group_size > 1 or (
+                beam_size > 1 and sample_method in ('greedy', 'beam_search')):
+            return self.sample_jit(variables, fc_feats, att_feats, att_masks,
+                                   rng, opt, train)
+        # structural key only: method/temperature/top-* are operands
+        opt_s = {k: v for k, v in opt.items()
+                 if k not in ('sample_method', 'temperature')}
+        key = ('sample_dyn', self._freeze_opt(opt_s), train)
+        if key not in self._jit_cache:
+            opt_c = dict(opt_s, sample_method='sample')
+
+            def fn(variables, fc, att, am, rng, dyn):
+                dm = self.bind(variables, train)
+                return decoding.sample(dm, fc, att, am, rng, opt_c,
+                                       dynamic_params=dyn)
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](variables, fc_feats, att_feats,
+                                    att_masks, rng, dyn)
+
+    def sample_beam_jit(self, variables, fc_feats, att_feats, att_masks, rng,
+                        opt: Dict[str, Any], train: bool = False,
+                        want_logps: bool = True):
+        """Jit-compiled sample_beam(); returns (seq, logps, done_beams).
+
+        want_logps=False skips the winner-logprob replay scan; the middle
+        element is then {'ent_sum', 'lp_sum'} per row (see decoding).
+        """
+        from ..engine import decoding
+        key = ('beam', self._freeze_opt(opt), train, want_logps)
         if key not in self._jit_cache:
             opt_c = dict(opt)
 
             def fn(variables, fc, att, am, rng):
                 dm = self.bind(variables, train)
-                return decoding.sample_beam(dm, fc, att, am, rng, opt_c)
+                return decoding.sample_beam(dm, fc, att, am, rng, opt_c,
+                                            want_logps=want_logps)
 
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key](variables, fc_feats, att_feats,

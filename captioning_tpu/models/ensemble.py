@@ -108,15 +108,16 @@ class EnsembleCaptioner:
         return self._jit_cache[key](variables_list, fc, att, am, rng)
 
     def sample_beam_jit(self, variables_list, fc, att, am, rng, opt,
-                        train: bool = False):
+                        train: bool = False, want_logps: bool = True):
         from ..engine import decoding
-        key = ('beam', self._freeze_opt(opt), train)
+        key = ('beam', self._freeze_opt(opt), train, want_logps)
         if key not in self._jit_cache:
             opt_c = dict(opt)
 
             def fn(variables_list, fc, att, am, rng):
                 dm = self.bind(variables_list, train)
-                return decoding.sample_beam(dm, fc, att, am, rng, opt_c)
+                return decoding.sample_beam(dm, fc, att, am, rng, opt_c,
+                                            want_logps=want_logps)
 
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key](variables_list, fc, att, am, rng)

@@ -114,6 +114,27 @@ def _attend_beam(q, k, v, anc, time_mask, bw, dropout_fn):
     return out.reshape(N, h, 1, dk)
 
 
+def _attend_shared(q, k, v, mask, dropout_fn):
+    """Cross-attention where one K/V row is shared by a block of query rows.
+
+    Beam lanes of the same image attend the SAME encoder memory; feeding the
+    un-replicated [nb, h, M, dk] K/V here cuts the dominant cross-attention
+    HBM traffic by the beam width vs attending a lane-replicated copy.
+
+    q: [nb, bw, h, dk]; k/v: [nb, h, M, dk]; mask: [nb, M] or None.
+    Returns [nb*bw, h, 1, dk].
+    """
+    nb, bw, h, dk = q.shape
+    scores = jnp.einsum('bqhd,bhmd->bqhm', q, k) / jnp.sqrt(
+        jnp.asarray(dk, q.dtype))
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :] == 0, _NEG_INF, scores)
+    p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    p = dropout_fn(p)
+    out = jnp.einsum('bqhm,bhmd->bqhd', p, v)
+    return out.reshape(nb * bw, h, 1, dk)
+
+
 def _attend(q, k, v, mask, dropout_fn):
     """Scaled dot product attention (reference TransformerModel.py:152-162).
 
@@ -146,6 +167,10 @@ class TransformerCaptioner(nn.Module):
     # beam search never physically reorders this model's KV caches; it
     # reorders an ancestry table instead (engine/decoding.py beam_search)
     SUPPORTS_BEAM_ANCESTRY = True
+    # step() accepts cross-attention feats with one row per beam BLOCK
+    # (nb = B // beam_width) instead of lane-replicated rows, halving+
+    # the cross-attend HBM traffic (see _attend_shared)
+    SUPPORTS_SHARED_BEAM_FEATS = True
 
     def setup(self):
         cfg = self.cfg
@@ -305,8 +330,13 @@ class TransformerCaptioner(nn.Module):
         else:
             self_mask = (pos_ids[None, :] <= t_rows[:, None]
                          )[:, None, None, :]                   # [B,1,1,T]
+        # shared cross-attention: feats may carry one row per beam block
+        # (sample_beam passes un-replicated memory when the model supports
+        # ancestry + shared feats)
+        nb_feats = feats['mem_k'].shape[0]
+        shared_cross = bool(beam_width) and nb_feats * beam_width == B
         src_mask = None
-        if feats['att_masks'] is not None:
+        if feats['att_masks'] is not None and not shared_cross:
             src_mask = feats['att_masks'][:, None, None, :]
 
         rows = jnp.arange(B)
@@ -351,9 +381,15 @@ class TransformerCaptioner(nn.Module):
             sproj = self.dec_src[i]
             y = self.dec_norm2[i](x)
             q2 = _split_heads(sproj.wq(y), h)
-            y = sproj.wo(_merge_heads(_attend(q2, feats['mem_k'][:, i],
-                                              feats['mem_v'][:, i], src_mask,
-                                              self._attn_dropout(train))))
+            if shared_cross:
+                y = sproj.wo(_merge_heads(_attend_shared(
+                    q2.reshape(nb_feats, beam_width, h, -1),
+                    feats['mem_k'][:, i], feats['mem_v'][:, i],
+                    feats['att_masks'], self._attn_dropout(train))))
+            else:
+                y = sproj.wo(_merge_heads(_attend(
+                    q2, feats['mem_k'][:, i], feats['mem_v'][:, i], src_mask,
+                    self._attn_dropout(train))))
             x = x + self._dropout(y, cfg.dropout, train)
 
             y = self._ffn_apply(self.dec_ffn[i], self.dec_norm3[i](x), train)

@@ -203,32 +203,48 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
             loss_evals += 1
 
         rng, step_rng = jax.random.split(rng)
-        seq, seq_logprobs = captioner.sample_jit(
-            variables, fc, att, am, step_rng, sample_opt)
-        seq = np.asarray(seq)
-        lp = np.asarray(seq_logprobs)
-        G = int(sample_opt.get('group_size', 1) or 1)
-        if G > 1 and seq.shape[0] == fc.shape[0] * G:
-            # diverse sampling folds groups into rows [B*G, L]; the split
-            # loop reports one caption per image, so keep group 0 (the
-            # reference's eval_split cannot reach this combination at all —
-            # use eval_split_n / --sample_n_method dgreedy for all groups)
-            seq = seq.reshape(-1, G, seq.shape[-1])[:, 0]
-            lp = lp.reshape((-1, G) + lp.shape[1:])[:, 0]
-        denom = (seq > 0).sum(1) + 1
-        if lp.ndim == 3:
-            # entropy / perplexity (reference eval_utils.py:173-174)
-            entropy = -(np.exp(lp) * lp).sum(-1).sum(1) / denom
-            perplexity = -np.take_along_axis(
-                lp, seq[..., None], axis=2)[..., 0].sum(1) / denom
+        bs_size = int(sample_opt.get('beam_size', 1) or 1)
+        sm = sample_opt.get('sample_method', 'greedy')
+        if bs_size > 1 and sm in ('greedy', 'beam_search'):
+            # beam fast path: entropy/perplexity sums are carried through
+            # the beam scan itself (decoding.sample_beam want_logps=False),
+            # skipping the winner-logprob replay — same two reductions the
+            # reference takes from the stored distributions
+            # (eval_utils.py:173-174)
+            seq, stats, _done = captioner.sample_beam_jit(
+                variables, fc, att, am, step_rng, sample_opt,
+                want_logps=False)
+            seq = np.asarray(seq)
+            denom = (seq > 0).sum(1) + 1
+            entropy = np.asarray(stats['ent_sum']) / denom
+            perplexity = -np.asarray(stats['lp_sum']) / denom
         else:
-            # diverse sampling (group_size>1) returns only the sampled
-            # logprob per step [N, L]; the reference crashes here
-            # (eval_utils.py:173 does .sum(2) on a 2-D tensor) — degrade
-            # gracefully instead: perplexity from the sampled logprobs,
-            # entropy unavailable
-            entropy = np.zeros(lp.shape[0], lp.dtype)
-            perplexity = -np.where(seq > 0, lp, 0.0).sum(1) / denom
+            seq, seq_logprobs = captioner.sample_jit(
+                variables, fc, att, am, step_rng, sample_opt)
+            seq = np.asarray(seq)
+            lp = np.asarray(seq_logprobs)
+            G = int(sample_opt.get('group_size', 1) or 1)
+            if G > 1 and seq.shape[0] == fc.shape[0] * G:
+                # diverse sampling folds groups into rows [B*G, L]; the
+                # split loop reports one caption per image, so keep group 0
+                # (the reference's eval_split cannot reach this combination
+                # at all — use eval_split_n / dgreedy for all groups)
+                seq = seq.reshape(-1, G, seq.shape[-1])[:, 0]
+                lp = lp.reshape((-1, G) + lp.shape[1:])[:, 0]
+            denom = (seq > 0).sum(1) + 1
+            if lp.ndim == 3:
+                # entropy / perplexity (reference eval_utils.py:173-174)
+                entropy = -(np.exp(lp) * lp).sum(-1).sum(1) / denom
+                perplexity = -np.take_along_axis(
+                    lp, seq[..., None], axis=2)[..., 0].sum(1) / denom
+            else:
+                # diverse sampling (group_size>1) returns only the sampled
+                # logprob per step [N, L]; the reference crashes here
+                # (eval_utils.py:173 does .sum(2) on a 2-D tensor) — degrade
+                # gracefully instead: perplexity from the sampled logprobs,
+                # entropy unavailable
+                entropy = np.zeros(lp.shape[0], lp.dtype)
+                perplexity = -np.where(seq > 0, lp, 0.0).sum(1) / denom
 
         sents = utils.decode_sequence(vocab, seq)
 
@@ -317,8 +333,8 @@ def eval_split_n(captioner, variables, n_predictions, input_data, vocab,
 
     if sample_n_method == 'bs':
         opt = dict(base, sample_n=sample_n, beam_size=sample_n, group_size=1)
-        _seq, _logps, done = captioner.sample_beam_jit(
-            variables, fc, att, am, rng, opt)
+        _seq, _stats, done = captioner.sample_beam_jit(
+            variables, fc, att, am, rng, opt, want_logps=False)
         seqs = np.asarray(done['seq'][:, 0])  # [B, bdash, L]
         for k in range(B):
             _sents = utils.decode_sequence(vocab, seqs[k][:sample_n])
@@ -329,8 +345,11 @@ def eval_split_n(captioner, variables, n_predictions, input_data, vocab,
           sample_n_method.startswith('top')):
         opt = dict(base, sample_n=sample_n, sample_method=sample_n_method,
                    beam_size=1)
-        _seq, _logprobs = captioner.sample_jit(variables, fc, att, am, rng,
-                                               opt)
+        # one shared compiled program across the whole sample family
+        # (method/temperature are traced operands)
+        sampler = getattr(captioner, 'sample_dynamic_jit',
+                          captioner.sample_jit)
+        _seq, _logprobs = sampler(variables, fc, att, am, rng, opt)
         _seq = np.asarray(_seq)
         lp = np.asarray(_logprobs)
         _sents = utils.decode_sequence(vocab, _seq)
@@ -342,8 +361,8 @@ def eval_split_n(captioner, variables, n_predictions, input_data, vocab,
                  'caption': sent, 'perplexity': float(_perplexity[k])})
     elif sample_n_method == 'dbs':
         opt = dict(base, beam_size=beam_size * sample_n, group_size=sample_n)
-        _seq, _logps, done = captioner.sample_beam_jit(
-            variables, fc, att, am, rng, opt)
+        _seq, _stats, done = captioner.sample_beam_jit(
+            variables, fc, att, am, rng, opt, want_logps=False)
         seqs = np.asarray(done['seq'][:, :, 0])  # best of each group [B,G,L]
         for k in range(B):
             _sents = utils.decode_sequence(vocab, seqs[k])

@@ -314,3 +314,84 @@ def test_ancestry_beam_equals_physical_reorder(model):
         assert (a[2] == b[2]).all(), (model, i, 'pool seq')
         assert np.allclose(a[3], b[3], atol=1e-5), (model, i, 'pool p')
         assert np.allclose(a[1], b[1], atol=1e-5), (model, i, 'logps')
+
+
+@pytest.mark.parametrize('beam_size,group_size,sample_n',
+                         [(3, 1, 1), (4, 2, 1), (3, 1, 3)])
+def test_beam_carried_stats_match_replay(beam_size, group_size, sample_n):
+    """want_logps=False carries entropy/chosen-logprob sums through the beam
+    scan; they must equal the same reductions over the replayed winner
+    distributions (what eval_split computes, reference eval_utils.py:173-174).
+    """
+    dm, table, W = make_mock_model()
+    B = 2
+    fc = np.random.RandomState(4).randn(B, 4).astype('float32')
+    opt = {'beam_size': beam_size, 'group_size': group_size,
+           'sample_n': sample_n, 'suppress_UNK': 1}
+    seq, logps, _ = decoding.sample_beam(
+        dm, jnp.asarray(fc), None, None, jax.random.PRNGKey(0), opt)
+    seq_f, stats, _ = decoding.sample_beam(
+        dm, jnp.asarray(fc), None, None, jax.random.PRNGKey(0), opt,
+        want_logps=False)
+    seq, seq_f = np.asarray(seq), np.asarray(seq_f)
+    assert (seq == seq_f).all()
+    lp = np.asarray(logps)
+    ent_replay = -(np.exp(lp) * lp).sum(-1).sum(1)
+    lp_replay = np.take_along_axis(lp, seq[..., None], axis=2)[..., 0].sum(1)
+    assert np.allclose(np.asarray(stats['ent_sum']), ent_replay,
+                       rtol=1e-4, atol=1e-4)
+    assert np.allclose(np.asarray(stats['lp_sum']), lp_replay,
+                       rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('method,temp', [('greedy', 1.0), ('sample', 1.0),
+                                         ('sample', 0.7), ('gumbel', 1.0),
+                                         ('top3', 1.0), ('top0.8', 0.9)])
+def test_dynamic_sampler_matches_static(method, temp):
+    """sample() with traced method params (the shared compiled program)
+    must reproduce the statically-specialized sampler token-for-token."""
+    from captioning_tpu.models.api import Captioner
+    dm, table, W = make_mock_model()
+    B = 4
+    fc = jnp.asarray(np.random.RandomState(5).randn(B, 4).astype('float32'))
+    opt = {'sample_method': method, 'temperature': temp, 'sample_n': 2,
+           'beam_size': 1, 'group_size': 1}
+    seq_s, lp_s = decoding.sample(dm, fc, None, None,
+                                  jax.random.PRNGKey(7), opt)
+    dyn = Captioner._dynamic_sample_params(method, temp)
+    seq_d, lp_d = decoding.sample(dm, fc, None, None, jax.random.PRNGKey(7),
+                                  opt, dynamic_params=dyn)
+    assert (np.asarray(seq_s) == np.asarray(seq_d)).all()
+    assert np.allclose(np.asarray(lp_s), np.asarray(lp_d),
+                       rtol=1e-5, atol=1e-5)
+
+
+def test_dynamic_sampler_one_program_across_methods():
+    """Switching eval sampling methods reuses ONE compiled program
+    (VERDICT round-1 item 10: eval over 3 methods compiles <= 2)."""
+    from captioning_tpu.models import setup as jx_setup
+    from types import SimpleNamespace
+    vocab = {str(i): 'w%d' % i for i in range(1, 14)}
+    opt = SimpleNamespace(
+        caption_model='updown', vocab_size=13, input_encoding_size=16,
+        rnn_size=24, num_layers=1, drop_prob_lm=0.5, fc_feat_size=10,
+        att_feat_size=12, att_hid_size=8, seq_length=7, max_length=7,
+        rnn_type='lstm', logit_layers=1, use_bn=0, seq_per_img=1,
+        compute_dtype='float32')
+    cap = jx_setup(opt, vocab)
+    variables = cap.init_params(jax.random.PRNGKey(0), att_len=5)
+    rng = np.random.RandomState(6)
+    fc = jnp.asarray(rng.randn(2, 10).astype('float32'))
+    att = jnp.asarray(rng.randn(2, 5, 12).astype('float32'))
+    outs = {}
+    for m in ('sample', 'gumbel', 'top3', 'top0.9'):
+        o = {'sample_method': m, 'temperature': 1.0, 'sample_n': 2,
+             'beam_size': 1}
+        seq, _ = cap.sample_dynamic_jit(variables, fc, att, None,
+                                        jax.random.PRNGKey(3), o)
+        outs[m] = np.asarray(seq)
+    dyn_keys = [k for k in cap._jit_cache if k[0] == 'sample_dyn']
+    assert len(dyn_keys) == 1, dyn_keys
+    # methods genuinely differ in behavior through the one program
+    assert not (outs['sample'] == outs['top3']).all() or \
+           not (outs['sample'] == outs['gumbel']).all()
