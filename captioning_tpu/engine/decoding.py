@@ -770,10 +770,11 @@ def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     # repeat by the EFFECTIVE beam count: when group_size does not divide
     # beam_size the reference floors (CaptionModel.beam_search bdash), so a
     # beam_size=5 group_size=2 run uses 4 rows per image, not 5.
-    use_anc = dm.beam_init is not None and dm.beam_reorder is not None
-    if use_anc and dm.shared_beam_feats:
-        # lanes of one (image, group) block share the encoder memory; the
-        # model's shared cross-attend path reads it once per block
+    if dm.shared_beam_feats:
+        # lanes of one (image, group) block share the encoder memory /
+        # attention features; the model's shared attend path reads them
+        # once per block (works with both the ancestry and the physical
+        # reorder beam paths: state rows only ever permute inside a block)
         feats_per_beam = repeat_tree(group_size, feats)
     else:
         feats_per_beam = repeat_tree(group_size * bdash, feats)

@@ -120,8 +120,20 @@ class Captioner:
             bos_idx=cfg.bos_idx, eos_idx=cfg.eos_idx, pad_idx=cfg.pad_idx,
             unk_idx=self.unk_idx, bad_endings_ix=self.bad_endings_ix,
             beam_init=beam_init, beam_reorder=beam_reorder,
-            shared_beam_feats=getattr(
-                type(module), 'SUPPORTS_SHARED_BEAM_FEATS', False))
+            shared_beam_feats=self._shared_beam_feats())
+
+    # RNN-harness models whose cores touch attention features ONLY through
+    # AttentionHead (layers.additive_attention handles block-shared rows);
+    # adaatt reads p_att_feats directly in its sentinel core and newfc/
+    # language_model/fc/show_tell have no att features to share.
+    _SHARED_FEATS_RNN = ('att2in', 'att2in2', 'att2all2', 'updown',
+                         'topdown', 'stackatt', 'denseatt')
+
+    def _shared_beam_feats(self) -> bool:
+        if getattr(type(self.module), 'SUPPORTS_SHARED_BEAM_FEATS', False):
+            return True
+        return (isinstance(self.module, AttCaptioner) and
+                self.cfg.caption_model in self._SHARED_FEATS_RNN)
 
     # -- teacher forcing -------------------------------------------------------
     def forward_tf(self, variables, fc_feats, att_feats, seq, att_masks,

@@ -19,7 +19,8 @@ from flax import linen as nn
 
 from .harness import ModelConfig
 from .layers import Dense, MaskedBatchNorm, MLPEmbed
-from .transformer import _attend, _merge_heads, _split_heads, _attend_beam
+from .transformer import (_attend, _attend_beam, _attend_shared,
+                          _merge_heads, _split_heads)
 
 _LN_EPS = 1e-12  # BertConfig default
 
@@ -68,6 +69,9 @@ class BertCaptioner(nn.Module):
     """BERT encoder-decoder captioner with the engine step protocol."""
     cfg: ModelConfig
     SUPPORTS_BEAM_ANCESTRY = True
+    # step() accepts block-shared cross-attention feats (one encoder-memory
+    # row per beam block) — see transformer._attend_shared
+    SUPPORTS_SHARED_BEAM_FEATS = True
 
     def setup(self):
         cfg = self.cfg
@@ -112,6 +116,19 @@ class BertCaptioner(nn.Module):
         x = _merge_heads(_attend(q, kv_k, kv_v, mask,
                                  lambda p: self._dropout(
                                      p, self.cfg.dropout, train)))
+        x = self._dropout(blk.wo(x), self.cfg.dropout, train)
+        return blk.ln(q_in + x)
+
+    def _attn_shared(self, blk: BertAttnBlock, q_in, kv_k, kv_v, att_masks,
+                     bw, train):
+        """cross-attention with one K/V row per beam block (see
+        transformer._attend_shared); post-LN residual as in _attn."""
+        h = self.cfg.num_att_heads
+        q = _split_heads(blk.wq(q_in), h)                # [B, h, 1, dk]
+        nb = kv_k.shape[0]
+        x = _merge_heads(_attend_shared(
+            q.reshape(nb, bw, h, -1), kv_k, kv_v, att_masks,
+            lambda p: self._dropout(p, self.cfg.dropout, train)))
         x = self._dropout(blk.wo(x), self.cfg.dropout, train)
         return blk.ln(q_in + x)
 
@@ -230,8 +247,14 @@ class BertCaptioner(nn.Module):
                 time_mask = jnp.arange(T)[None, :] <= t_rows[:, None]
             new_state['anc'] = anc
 
+        # block-shared cross-attention feats (shape-detected, like the
+        # transformer step)
+        nb_feats = feats['mem_k'].shape[0]
+        shared_cross = nb_feats != B
+        cross_bw = B // nb_feats if shared_cross else 1
         src_mask = (feats['att_masks'][:, None, None, :]
-                    if feats['att_masks'] is not None else None)
+                    if feats['att_masks'] is not None and not shared_cross
+                    else None)
         for i in range(cfg.N_dec):
             blk = self.dec_self[i]
             k_new = _split_heads(blk.wk(x), h)
@@ -245,8 +268,14 @@ class BertCaptioner(nn.Module):
                                    beam_width, train)
             else:
                 x = self._attn(blk, x, k_cache, v_cache, self_mask, train)
-            x = self._attn(self.dec_cross[i], x, feats['mem_k'][:, i],
-                           feats['mem_v'][:, i], src_mask, train)
+            if shared_cross:
+                x = self._attn_shared(self.dec_cross[i], x,
+                                      feats['mem_k'][:, i],
+                                      feats['mem_v'][:, i],
+                                      feats['att_masks'], cross_bw, train)
+            else:
+                x = self._attn(self.dec_cross[i], x, feats['mem_k'][:, i],
+                               feats['mem_v'][:, i], src_mask, train)
             x = self._ffn(self.dec_ffn[i], x, train)
         logits = self.generator(x[:, 0]).astype(jnp.float32)
         state = new_state

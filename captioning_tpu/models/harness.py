@@ -186,7 +186,9 @@ class AttentionHead(nn.Module):
     def __call__(self, h, att_feats, p_att_feats, att_masks):
         h2att = Dense(self.att_hid_size, dtype=self.dtype, name='h2att')
         alpha_net = Dense(1, dtype=self.dtype, name='alpha_net')
-        if self.use_pallas:
+        # the fused kernel expects lane-replicated feats; block-shared beam
+        # feats (att rows != h rows) take the jnp path, which handles both
+        if self.use_pallas and att_feats.shape[0] == h.shape[0]:
             from ..ops.attention import additive_attention_fused, auto_interpret
             att_h = h2att(h)
             # materialize alpha_net params (same tree as the jnp path, so
@@ -651,7 +653,19 @@ class AttCaptioner(nn.Module):
         """get_logprobs_state (reference AttModel.py:166-176).
 
         ``uniform_t`` is a layout hint for KV-cached models; RNN state is
-        positionless so it is ignored here."""
+        positionless so it is ignored here.
+
+        Beam search may pass block-shared feats (one att row per beam
+        block, engine shared_beam_feats): the attention head broadcasts
+        over the block; only fc_feats — consumed per row by the cores — is
+        expanded here (it is small)."""
+        af = feats.get('att_feats')
+        fc = feats.get('fc_feats')
+        N = it.shape[0]
+        if af is not None and af.shape[0] != N and fc is not None \
+                and fc.shape[0] != N:
+            feats = dict(feats, fc_feats=jnp.repeat(fc, N // fc.shape[0],
+                                                    axis=0))
         xt = self.embed_word(it, train)
         output, state = self.core(xt, feats, state, train)
         logits = self.apply_logit(output)

@@ -144,6 +144,24 @@ def additive_attention(h, att_feats, p_att_feats, att_masks,
     p_att_feats:  [B, M, A] pre-projected keys (ctx2att output)
     att_masks:    [B, M] or None
     """
+    N = h.shape[0]
+    nb = att_feats.shape[0]
+    if nb != N:
+        # block-shared beam lanes: one key/value row serves N//nb
+        # consecutive query rows (beam search leaves the att features
+        # un-replicated; this cuts the dominant per-step HBM read by the
+        # beam width — same math, different broadcast)
+        bw = N // nb
+        att_h = h2att(h).reshape(nb, bw, 1, -1)          # [nb, bw, 1, A]
+        dot = jnp.tanh(p_att_feats[:, None] + att_h)     # [nb, bw, M, A]
+        e = alpha_net(dot)[..., 0]                       # [nb, bw, M]
+        weight = jax.nn.softmax(e, axis=-1)
+        if att_masks is not None:
+            weight = weight * att_masks[:, None]
+            weight = weight / jnp.maximum(
+                weight.sum(-1, keepdims=True), 1e-9)
+        att_res = jnp.einsum('bqm,bmh->bqh', weight, att_feats)
+        return att_res.reshape(N, att_feats.shape[-1])
     att_h = h2att(h)                            # [B, A]
     dot = jnp.tanh(p_att_feats + att_h[:, None, :])
     e = alpha_net(dot)[..., 0]                  # [B, M]

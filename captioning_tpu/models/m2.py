@@ -29,7 +29,8 @@ from flax import linen as nn
 
 from .harness import ModelConfig
 from .layers import Dense, MaskedBatchNorm
-from .transformer import _attend, _merge_heads, _split_heads, _attend_beam
+from .transformer import (_attend, _attend_beam, _attend_shared,
+                          _merge_heads, _split_heads)
 
 M2_MEMORY_SLOTS = 40
 
@@ -73,6 +74,9 @@ class M2Captioner(nn.Module):
     """M2 transformer exposing the engine step protocol."""
     cfg: ModelConfig
     SUPPORTS_BEAM_ANCESTRY = True
+    # step() accepts block-shared cross-attention feats (one row per beam
+    # block) — see transformer._attend_shared
+    SUPPORTS_SHARED_BEAM_FEATS = True
 
     def setup(self):
         cfg = self.cfg
@@ -234,15 +238,26 @@ class M2Captioner(nn.Module):
         else:
             x = self._mha(blk, x, None, self_mask, train,
                           kv_cached=(self_k, self_v))
-        # meshed cross attention over every encoder level
+        # meshed cross attention over every encoder level; feats may carry
+        # one row per beam block (shape-detected, see transformer step)
         cblk = self.dec_cross[i]
         q = _split_heads(cblk.wq(x), h)
+        nb_feats = feats['mem_k'].shape[0]
+        B = x.shape[0]
+        shared_cross = nb_feats != B
+        cross_bw = B // nb_feats if shared_cross else 1
         total = jnp.zeros_like(x)
         for e in range(cfg.N_enc):
             k, v = feats['mem_k'][:, i, e], feats['mem_v'][:, i, e]
-            att = _merge_heads(_attend(q, k, v, src_mask,
-                                       lambda p: self._dropout(
-                                           p, cfg.dropout, train)))
+            if shared_cross:
+                att = _merge_heads(_attend_shared(
+                    q.reshape(nb_feats, cross_bw, h, -1), k, v,
+                    feats['att_masks'],
+                    lambda p: self._dropout(p, cfg.dropout, train)))
+            else:
+                att = _merge_heads(_attend(q, k, v, src_mask,
+                                           lambda p: self._dropout(
+                                               p, cfg.dropout, train)))
             att = self._dropout(cblk.wo(att), cfg.dropout, train)
             gate = jax.nn.sigmoid(self.dec_gates[i][e](
                 jnp.concatenate([x, att], axis=-1)))

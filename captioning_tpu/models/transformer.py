@@ -332,9 +332,11 @@ class TransformerCaptioner(nn.Module):
                          )[:, None, None, :]                   # [B,1,1,T]
         # shared cross-attention: feats may carry one row per beam block
         # (sample_beam passes un-replicated memory when the model supports
-        # ancestry + shared feats)
+        # shared feats); detected by shape so it works with either the
+        # ancestry or the physical-reorder beam path
         nb_feats = feats['mem_k'].shape[0]
-        shared_cross = bool(beam_width) and nb_feats * beam_width == B
+        shared_cross = nb_feats != B
+        cross_bw = B // nb_feats if shared_cross else 1
         src_mask = None
         if feats['att_masks'] is not None and not shared_cross:
             src_mask = feats['att_masks'][:, None, None, :]
@@ -383,7 +385,7 @@ class TransformerCaptioner(nn.Module):
             q2 = _split_heads(sproj.wq(y), h)
             if shared_cross:
                 y = sproj.wo(_merge_heads(_attend_shared(
-                    q2.reshape(nb_feats, beam_width, h, -1),
+                    q2.reshape(nb_feats, cross_bw, h, -1),
                     feats['mem_k'][:, i], feats['mem_v'][:, i],
                     feats['att_masks'], self._attn_dropout(train))))
             else:

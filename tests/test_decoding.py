@@ -395,3 +395,43 @@ def test_dynamic_sampler_one_program_across_methods():
     # methods genuinely differ in behavior through the one program
     assert not (outs['sample'] == outs['top3']).all() or \
            not (outs['sample'] == outs['gumbel']).all()
+
+
+@pytest.mark.parametrize('model', ['transformer', 'bert', 'm2transformer',
+                                   'updown', 'att2in2', 'stackatt'])
+def test_shared_beam_feats_equal_replicated(model):
+    """Block-shared beam feats (one att/memory row per beam block) must
+    produce the same captions and pool scores as lane-replicated feats."""
+    from types import SimpleNamespace
+    from captioning_tpu.models import setup as jx_setup
+
+    vocab = {str(i): 'w%d' % i for i in range(1, 21)}
+    opt = SimpleNamespace(
+        caption_model=model, vocab_size=20, input_encoding_size=16,
+        rnn_size=24, num_layers=1, drop_prob_lm=0.5, fc_feat_size=10,
+        att_feat_size=12, att_hid_size=8, seq_length=7, max_length=7,
+        rnn_type='lstm', logit_layers=1, use_bn=0, vocab=vocab,
+        seq_per_img=1, compute_dtype='float32',
+        N_enc=2, N_dec=2, d_model=16, d_ff=32, num_att_heads=4, dropout=0.1)
+    cap = jx_setup(opt, vocab)
+    variables = cap.init_params(jax.random.PRNGKey(0), att_len=5)
+    rng = np.random.RandomState(8)
+    fc = jnp.asarray(rng.randn(3, 10).astype('float32'))
+    att = jnp.asarray(rng.randn(3, 5, 12).astype('float32'))
+    am = jnp.ones((3, 5), jnp.float32)
+
+    dm = cap.bind(variables, train=False)
+    assert dm.shared_beam_feats, model
+    dm_rep = dataclasses.replace(dm, shared_beam_feats=False)
+    for opt_b in ({'beam_size': 4, 'group_size': 1, 'sample_n': 1},
+                  {'beam_size': 4, 'group_size': 2, 'sample_n': 1,
+                   'diversity_lambda': 0.5}):
+        s1, lp1, d1 = decoding.sample_beam(dm, fc, att, am,
+                                           jax.random.PRNGKey(0), opt_b)
+        s2, lp2, d2 = decoding.sample_beam(dm_rep, fc, att, am,
+                                           jax.random.PRNGKey(0), opt_b)
+        assert (np.asarray(s1) == np.asarray(s2)).all(), (model, opt_b)
+        assert (np.asarray(d1['seq']) == np.asarray(d2['seq'])).all()
+        assert np.allclose(np.asarray(d1['p']), np.asarray(d2['p']),
+                           atol=1e-5)
+        assert np.allclose(np.asarray(lp1), np.asarray(lp2), atol=1e-5)

@@ -75,13 +75,17 @@ def main():
 
         bo = {'beam_size': 5, 'sample_n': 1, 'group_size': 1,
               'suppress_UNK': 1}
+        # want_logps=False is the production eval path (carried stats,
+        # no winner-logprob replay)
         s, _, _ = cap.sample_beam_jit(variables, fc, att, am,
-                                      jax.random.PRNGKey(1), bo)
+                                      jax.random.PRNGKey(1), bo,
+                                      want_logps=False)
         np.asarray(s)
         t0 = time.time()
         for i in range(iters):
             s, _, _ = cap.sample_beam_jit(variables, fc, att, am,
-                                          jax.random.PRNGKey(i), bo)
+                                          jax.random.PRNGKey(i), bo,
+                                          want_logps=False)
             np.asarray(s)
         dt = (time.time() - t0) / iters
         print('%s beam5  B=%d: %.3fs -> %.1f captions/s' % (name, B, dt,
