@@ -335,7 +335,10 @@ def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     V1 = dm.vocab_plus
     rng, prep_rng = jax.random.split(rng)
     feats = dm.prepare(fc_feats, att_feats, att_masks, prep_rng)
-    feats = repeat_tree(sample_n, feats)
+    if not dm.shared_beam_feats:
+        # models with block-shared attends read one feats row per sample_n
+        # block directly (shape-detected in their step)
+        feats = repeat_tree(sample_n, feats)
     N = B * sample_n
     state0 = dm.init_state(N)
 
@@ -392,7 +395,8 @@ def scan_logprobs(dm: DecodeModel, fc_feats, att_feats, att_masks, gen_seq,
     L = dm.seq_length
     rng, prep_rng = jax.random.split(rng)
     feats = dm.prepare(fc_feats, att_feats, att_masks, prep_rng)
-    feats = repeat_tree(sample_n, feats)
+    if not dm.shared_beam_feats:
+        feats = repeat_tree(sample_n, feats)
     N = B * sample_n
     state0 = dm.init_state(N)
     step_rngs = jax.random.split(rng, L * 2).reshape(L, 2, -1)
@@ -826,8 +830,9 @@ def diverse_sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
 
     rng, prep_rng = jax.random.split(rng)
     feats = dm.prepare(fc_feats, att_feats, att_masks, prep_rng)
-    # lane layout [B, G] flattened (repeat index fastest = group)
-    feats_g = repeat_tree(G, feats)
+    # lane layout [B, G] flattened (repeat index fastest = group); shared-
+    # attend models read one feats row per G-block directly
+    feats_g = feats if dm.shared_beam_feats else repeat_tree(G, feats)
     state = dm.init_state(B * G)
 
     seq_tbl = jnp.zeros((B, G, L), jnp.int32)

@@ -17,7 +17,8 @@ from flax import linen as nn
 
 from .harness import ModelConfig, TorchLSTMCell
 from .layers import Dense, Dropout, Embedding, MaskedBatchNorm, MLPEmbed
-from .transformer import RefLayerNorm, _attend, _merge_heads, _split_heads
+from .transformer import (RefLayerNorm, _attend, _attend_shared,
+                          _merge_heads, _split_heads)
 
 
 class MultiHeadedDotAttention(nn.Module):
@@ -36,7 +37,13 @@ class MultiHeadedDotAttention(nn.Module):
     @nn.compact
     def __call__(self, query, value, key, mask, train: bool):
         d_scaled = self.d_model * self.scale
-        if mask is not None:
+        # block-shared beam feats: one key/value row may serve
+        # query_rows // kv_rows consecutive query rows (see
+        # transformer._attend_shared); only the single-query decoder path
+        # hits this (raw 2-D mask is consumed by the shared attend)
+        shared_kv = value.shape[0] != query.shape[0]
+        raw_mask = mask
+        if mask is not None and not shared_kv:
             if mask.ndim == 2:
                 mask = mask[:, None, :]
             mask = mask[:, None]  # head dim
@@ -59,7 +66,15 @@ class MultiHeadedDotAttention(nn.Module):
             v = _split_heads(value, self.h)
 
         drop = Dropout(self.dropout)
-        x = _merge_heads(_attend(q, k, v, mask, lambda p: drop(p, train)))
+        if shared_kv:
+            assert single_query, 'shared K/V requires single-query decode'
+            nb = k.shape[0]
+            bw = q.shape[0] // nb
+            x = _merge_heads(_attend_shared(
+                q.reshape(nb, bw, self.h, -1), k, v, raw_mask,
+                lambda p: drop(p, train)))
+        else:
+            x = _merge_heads(_attend(q, k, v, mask, lambda p: drop(p, train)))
 
         if self.do_aoa:
             aoa_in = jnp.concatenate([x, query], -1)
@@ -102,6 +117,10 @@ class AoARefiner(nn.Module):
 class AoACaptioner(nn.Module):
     """AoANet exposing the engine step protocol."""
     cfg: ModelConfig
+    # step() accepts block-shared attention feats (one att row per beam
+    # block): MultiHeadedDotAttention / AttentionHead broadcast over the
+    # block; fc_feats (mean feats) is expanded per row in step()
+    SUPPORTS_SHARED_BEAM_FEATS = True
 
     def setup(self):
         cfg = self.cfg
@@ -186,6 +205,13 @@ class AoACaptioner(nn.Module):
         ``uniform_t`` is a layout hint for KV-cached models; ignored."""
         cfg = self.cfg
         D = cfg.rnn_size
+        # block-shared beam feats: expand only the per-row mean feats
+        af = feats.get('att_feats')
+        fcm = feats.get('fc_feats')
+        if af is not None and af.shape[0] != it.shape[0] and \
+                fcm is not None and fcm.shape[0] != it.shape[0]:
+            feats = dict(feats, fc_feats=jnp.repeat(
+                fcm, it.shape[0] // fcm.shape[0], axis=0))
         xt = self.embed(it)
         xt = nn.relu(xt)
         xt = self._dropout(xt, cfg.drop_prob_lm, train)

@@ -187,7 +187,10 @@ class Captioner:
             new_vars = dict(variables, **updated)
         else:
             feats = dm.prepare(fc_feats, att_feats, att_masks, prep_rng)
-        feats = repeat_tree(seq_per_img, feats)
+        if not dm.shared_beam_feats:
+            # shared-attend models read one feats row per seq_per_img block
+            # directly (shape-detected in their step)
+            feats = repeat_tree(seq_per_img, feats)
         state0 = dm.init_state(N)
 
         # ss_prob may be a traced scalar (it changes on an epoch schedule,

@@ -19,8 +19,8 @@ from flax import linen as nn
 
 from .harness import ModelConfig
 from .layers import Dense, MaskedBatchNorm, MLPEmbed
-from .transformer import (_attend, _attend_beam, _attend_shared,
-                          _merge_heads, _split_heads)
+from .transformer import (_attend, _attend_beam, _attend_grouped,
+                          _attend_shared, _merge_heads, _split_heads)
 
 _LN_EPS = 1e-12  # BertConfig default
 
@@ -290,11 +290,10 @@ class BertCaptioner(nn.Module):
         if seq.ndim == 3:
             seq = seq.reshape(-1, seq.shape[2])
         memory = self.encode(att_feats, att_masks, train)
+        # seq_per_img sequences of one image share the encoder memory;
+        # cross-attention runs grouped (one K/V row per image)
         spi = seq.shape[0] // memory.shape[0]
-        if spi > 1:
-            memory = jnp.repeat(memory, spi, axis=0)
-            if att_masks is not None:
-                att_masks = jnp.repeat(att_masks, spi, axis=0)
+        nb = memory.shape[0]
         T = seq.shape[1]
         seq_mask = (seq != cfg.eos_idx) & (seq != cfg.pad_idx)
         seq_mask = seq_mask.at[:, 0].set(True)
@@ -311,7 +310,15 @@ class BertCaptioner(nn.Module):
             cblk = self.dec_cross[i]
             mk = _split_heads(cblk.wk(memory), h)
             mv = _split_heads(cblk.wv(memory), h)
-            x = self._attn(cblk, x, mk, mv, src_mask, train)
+            if spi > 1:
+                q = _split_heads(cblk.wq(x), h)
+                y = _merge_heads(_attend_grouped(
+                    q.reshape(nb, spi, h, T, -1), mk, mv, att_masks,
+                    lambda p: self._dropout(p, cfg.dropout, train)))
+                y = self._dropout(cblk.wo(y), cfg.dropout, train)
+                x = cblk.ln(x + y)
+            else:
+                x = self._attn(cblk, x, mk, mv, src_mask, train)
             x = self._ffn(self.dec_ffn[i], x, train)
         logits = self.generator(x).astype(jnp.float32)
         return jax.nn.log_softmax(logits, axis=-1)

@@ -244,7 +244,8 @@ class M2Captioner(nn.Module):
         q = _split_heads(cblk.wq(x), h)
         nb_feats = feats['mem_k'].shape[0]
         B = x.shape[0]
-        shared_cross = nb_feats != B
+        # only the single-token step path supports block-shared feats
+        shared_cross = nb_feats != B and q.shape[-2] == 1
         cross_bw = B // nb_feats if shared_cross else 1
         total = jnp.zeros_like(x)
         for e in range(cfg.N_enc):

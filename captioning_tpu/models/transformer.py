@@ -135,6 +135,26 @@ def _attend_shared(q, k, v, mask, dropout_fn):
     return out.reshape(nb * bw, h, 1, dk)
 
 
+def _attend_grouped(q, k, v, mask, dropout_fn):
+    """Cross-attention for teacher forcing where one K/V row is shared by a
+    block of ``s`` query ROWS (the seq_per_img sequences of one image).
+
+    q: [B, s, h, T, dk]; k/v: [B, h, M, dk]; mask: [B, M] or None.
+    Returns [B*s, h, T, dk].  Reads the encoder memory once per image
+    instead of once per sequence.
+    """
+    B, s, h, T, dk = q.shape
+    scores = jnp.einsum('bshtd,bhmd->bshtm', q, k) / jnp.sqrt(
+        jnp.asarray(dk, q.dtype))
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, None, :] == 0, _NEG_INF,
+                           scores)
+    p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    p = dropout_fn(p)
+    out = jnp.einsum('bshtm,bhmd->bshtd', p, v)
+    return out.reshape(B * s, h, T, dk)
+
+
 def _attend(q, k, v, mask, dropout_fn):
     """Scaled dot product attention (reference TransformerModel.py:152-162).
 
@@ -414,11 +434,11 @@ class TransformerCaptioner(nn.Module):
         if seq.ndim == 3:
             seq = seq.reshape(-1, seq.shape[2])
         memory = self.encode(att_feats, att_masks, train)
+        # the seq_per_img sequences of one image share the encoder memory:
+        # cross-attention runs grouped (one K/V row per image) instead of
+        # replicating memory per sequence
         seq_per_img = seq.shape[0] // memory.shape[0]
-        if seq_per_img > 1:
-            memory = jnp.repeat(memory, seq_per_img, axis=0)
-            if att_masks is not None:
-                att_masks = jnp.repeat(att_masks, seq_per_img, axis=0)
+        nb = memory.shape[0]
 
         T = seq.shape[1]
         seq_mask = (seq != cfg.eos_idx) & (seq != cfg.pad_idx)
@@ -444,8 +464,13 @@ class TransformerCaptioner(nn.Module):
             q2 = _split_heads(sproj.wq(y), h)
             mk = _split_heads(sproj.wk(memory), h)
             mv = _split_heads(sproj.wv(memory), h)
-            y = sproj.wo(_merge_heads(_attend(q2, mk, mv, src_mask,
-                                              self._attn_dropout(train))))
+            if seq_per_img > 1:
+                y = sproj.wo(_merge_heads(_attend_grouped(
+                    q2.reshape(nb, seq_per_img, h, T, -1), mk, mv,
+                    att_masks, self._attn_dropout(train))))
+            else:
+                y = sproj.wo(_merge_heads(_attend(
+                    q2, mk, mv, src_mask, self._attn_dropout(train))))
             x = x + self._dropout(y, cfg.dropout, train)
 
             y = self._ffn_apply(self.dec_ffn[i], self.dec_norm3[i](x), train)

@@ -398,7 +398,7 @@ def test_dynamic_sampler_one_program_across_methods():
 
 
 @pytest.mark.parametrize('model', ['transformer', 'bert', 'm2transformer',
-                                   'updown', 'att2in2', 'stackatt'])
+                                   'updown', 'att2in2', 'stackatt', 'aoa'])
 def test_shared_beam_feats_equal_replicated(model):
     """Block-shared beam feats (one att/memory row per beam block) must
     produce the same captions and pool scores as lane-replicated feats."""
@@ -435,3 +435,33 @@ def test_shared_beam_feats_equal_replicated(model):
         assert np.allclose(np.asarray(d1['p']), np.asarray(d2['p']),
                            atol=1e-5)
         assert np.allclose(np.asarray(lp1), np.asarray(lp2), atol=1e-5)
+
+
+@pytest.mark.parametrize('model', ['transformer', 'bert', 'updown', 'aoa'])
+def test_grouped_tf_equals_replicated(model):
+    """Teacher forcing with seq_per_img>1 shares one encoder-memory row per
+    image (grouped cross-attention / shared feats in the step scan); it
+    must equal running each sequence against its own replicated image."""
+    from types import SimpleNamespace
+    from captioning_tpu.models import setup as jx_setup
+    opt = SimpleNamespace(
+        caption_model=model, vocab_size=20, input_encoding_size=16,
+        rnn_size=24, num_layers=1, drop_prob_lm=0.5, fc_feat_size=10,
+        att_feat_size=12, att_hid_size=8, max_length=7, rnn_type='lstm',
+        logit_layers=1, use_bn=0, seq_per_img=3, compute_dtype='float32',
+        N_enc=2, N_dec=2, d_model=16, d_ff=32, num_att_heads=4, dropout=0.1)
+    vocab = {str(i): 'w%d' % i for i in range(1, 21)}
+    cap = jx_setup(opt, vocab)
+    v = cap.init_params(jax.random.PRNGKey(0), att_len=5)
+    rng = np.random.RandomState(2)
+    B, spi = 2, 3
+    fc = jnp.asarray(rng.randn(B, 10).astype('float32'))
+    att = jnp.asarray(rng.randn(B, 5, 12).astype('float32'))
+    am = jnp.ones((B, 5), jnp.float32)
+    seq = jnp.asarray(rng.randint(1, 20, (B * spi, 8)), jnp.int32)
+    lp_grouped = cap.forward_tf(v, fc, att, seq, am, 0.0, None, False)
+    lp_rep = cap.forward_tf(v, jnp.repeat(fc, spi, 0),
+                            jnp.repeat(att, spi, 0), seq,
+                            jnp.repeat(am, spi, 0), 0.0, None, False)
+    assert np.allclose(np.asarray(lp_grouped), np.asarray(lp_rep),
+                       atol=1e-4), model
