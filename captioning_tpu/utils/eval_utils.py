@@ -158,6 +158,38 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
     loader.reset_iterator(split)
     vocab = loader.get_vocab()
 
+    # single-process multi-chip decode: shard each eval batch over the
+    # local device mesh (data axis); the jitted sample programs partition
+    # automatically from the input shardings.  Goes beyond the reference,
+    # whose eval is single-GPU (DataParallel is train-only, train.py:86-88).
+    mesh = None
+    if int(eval_kwargs.get('device_mesh', 0) or 0) and jax.device_count() > 1:
+        from ..parallel.mesh import make_mesh, replicate, shard_batch
+        mesh = make_mesh('')  # all local devices on the data axis
+        variables = replicate(variables, mesh)
+        n_dev = mesh.devices.size
+        print('eval_split: sharding batches over %d devices' % n_dev)
+
+    def _shard(fc, att, am):
+        """Pad the batch to a multiple of the mesh size and shard it.
+        Returns (fc, att, am, real_rows)."""
+        real = fc.shape[0]
+        if mesh is None:
+            return fc, att, am, real
+        from ..parallel.mesh import shard_batch
+        n_dev = mesh.devices.size
+        pad = (-real) % n_dev
+        if pad:
+            def _pad(x):
+                if x is None:
+                    return None
+                reps = jnp.repeat(x[:1], pad, axis=0)
+                return jnp.concatenate([x, reps], axis=0)
+            fc, att, am = _pad(fc), _pad(att), _pad(am)
+        fc, att, am = (shard_batch({'fc': fc, 'att': att, 'am': am}, mesh)[k]
+                       for k in ('fc', 'att', 'am'))
+        return fc, att, am, real
+
     sample_opt = {k: eval_kwargs.get(k) for k in
                   ('sample_method', 'beam_size', 'temperature', 'group_size',
                    'diversity_lambda', 'decoding_constraint',
@@ -203,6 +235,7 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
             loss_evals += 1
 
         rng, step_rng = jax.random.split(rng)
+        fc_d, att_d, am_d, real_rows = _shard(fc, att, am)
         bs_size = int(sample_opt.get('beam_size', 1) or 1)
         sm = sample_opt.get('sample_method', 'greedy')
         if bs_size > 1 and sm in ('greedy', 'beam_search'):
@@ -212,19 +245,19 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
             # reference takes from the stored distributions
             # (eval_utils.py:173-174)
             seq, stats, _done = captioner.sample_beam_jit(
-                variables, fc, att, am, step_rng, sample_opt,
+                variables, fc_d, att_d, am_d, step_rng, sample_opt,
                 want_logps=False)
-            seq = np.asarray(seq)
+            seq = np.asarray(seq)[:real_rows]
             denom = (seq > 0).sum(1) + 1
-            entropy = np.asarray(stats['ent_sum']) / denom
-            perplexity = -np.asarray(stats['lp_sum']) / denom
+            entropy = np.asarray(stats['ent_sum'])[:real_rows] / denom
+            perplexity = -np.asarray(stats['lp_sum'])[:real_rows] / denom
         else:
             seq, seq_logprobs = captioner.sample_jit(
-                variables, fc, att, am, step_rng, sample_opt)
-            seq = np.asarray(seq)
-            lp = np.asarray(seq_logprobs)
+                variables, fc_d, att_d, am_d, step_rng, sample_opt)
             G = int(sample_opt.get('group_size', 1) or 1)
-            if G > 1 and seq.shape[0] == fc.shape[0] * G:
+            seq = np.asarray(seq)[:real_rows * G]
+            lp = np.asarray(seq_logprobs)[:real_rows * G]
+            if G > 1 and seq.shape[0] == real_rows * G:
                 # diverse sampling folds groups into rows [B*G, L]; the
                 # split loop reports one caption per image, so keep group 0
                 # (the reference's eval_split cannot reach this combination

@@ -227,6 +227,10 @@ def add_eval_options(parser):
     parser.add_argument('--batch_size', type=int, default=0)
     parser.add_argument('--compilation_cache_dir', type=str, default='',
                         help='persistent XLA compilation cache directory')
+    parser.add_argument('--device_mesh', type=int, default=0,
+                        help='shard eval decode batches over all local '
+                             'devices (single-process multi-chip; TPU-only '
+                             'extension, no reference analogue)')
     parser.add_argument('--num_images', type=int, default=-1)
     parser.add_argument('--language_eval', type=int, default=0)
     parser.add_argument('--dump_images', type=int, default=1)

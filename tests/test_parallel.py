@@ -112,3 +112,72 @@ def test_tp_vocab_sharding_decode(small_transformer):
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_mesh_sharded_eval_decode_matches_single_device(small_transformer):
+    """eval_split --device_mesh: decoding a batch sharded over the 8-device
+    data mesh (with padding to a device multiple) must produce the same
+    captions as the unsharded path."""
+    from captioning_tpu.parallel.mesh import replicate
+    cap, opt, variables = small_transformer
+    b = _batch(6, seed=4)   # 6 rows -> pads to 8 on the mesh
+    fc, att, am = (jnp.asarray(b['fc']), jnp.asarray(b['att']),
+                   jnp.asarray(b['am']))
+    so = {'beam_size': 3, 'sample_n': 1, 'group_size': 1}
+    seq_ref, _, _ = cap.sample_beam_jit(variables, fc, att, am,
+                                        jax.random.PRNGKey(5), so,
+                                        want_logps=False)
+    seq_ref = np.asarray(seq_ref)
+
+    mesh = make_mesh('')
+    n_dev = mesh.devices.size
+    var_r = replicate(variables, mesh)
+    pad = (-fc.shape[0]) % n_dev
+    fc_p = jnp.concatenate([fc, jnp.repeat(fc[:1], pad, 0)], 0)
+    att_p = jnp.concatenate([att, jnp.repeat(att[:1], pad, 0)], 0)
+    am_p = jnp.concatenate([am, jnp.repeat(am[:1], pad, 0)], 0)
+    sharded = shard_batch({'fc': fc_p, 'att': att_p, 'am': am_p}, mesh)
+    seq_m, _, _ = cap.sample_beam_jit(var_r, sharded['fc'], sharded['att'],
+                                      sharded['am'], jax.random.PRNGKey(5),
+                                      so, want_logps=False)
+    seq_m = np.asarray(seq_m)[:fc.shape[0]]
+    assert (seq_m == seq_ref).all()
+
+
+def test_eval_split_device_mesh_flag(small_transformer, tmp_path,
+                                     monkeypatch):
+    """--device_mesh in eval_split pads ragged batches, shards them, and
+    reports one caption per real image."""
+    from captioning_tpu.utils import eval_utils
+
+    cap, opt, variables = small_transformer
+
+    class FakeLoader:
+        def __init__(self):
+            self.batches = [_batch(6, seed=7)]
+            self.i = 0
+
+        def reset_iterator(self, split):
+            self.i = 0
+
+        def get_vocab(self):
+            return {str(i): 'w%d' % i for i in range(1, 64)}
+
+        def get_batch(self, split):
+            b = self.batches[self.i]
+            self.i += 1
+            return {
+                'fc_feats': b['fc'], 'att_feats': b['att'],
+                'att_masks': b['am'], 'labels': None, 'masks': None,
+                'infos': [{'id': k} for k in range(6)],
+                'bounds': {'it_max': 6, 'wrapped': True},
+            }
+
+    monkeypatch.chdir(tmp_path)
+    loss, preds, _ = eval_utils.eval_split(
+        cap, variables, FakeLoader(),
+        {'device_mesh': 1, 'beam_size': 3, 'num_images': 6,
+         'language_eval': 0, 'verbose': False, 'verbose_loss': 0,
+         'dataset': 'custom'})
+    assert len(preds) == 6
+    assert all(isinstance(p['caption'], str) for p in preds)

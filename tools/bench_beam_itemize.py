@@ -5,7 +5,11 @@ no constraints) with flags, to see where the 7.3 ms/step goes.
 """
 
 import sys
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import jax
 import jax.numpy as jnp

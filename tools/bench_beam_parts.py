@@ -6,7 +6,11 @@ beam bookkeeping itself: constraints, candidate top-k, pool merge, carried
 tables, state reorder glue.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import jax
 import jax.numpy as jnp
