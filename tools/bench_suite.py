@@ -48,6 +48,32 @@ def updown_opt():
     return o
 
 
+def att2in2_opt():
+    o = updown_opt()
+    o.caption_model = 'att2in2'
+    return o
+
+
+def aoa_opt():
+    # configs/aoa/aoa.yml shapes: rnn 1024, AoA refiner + decoder
+    o = transformer_opt()
+    o.caption_model = 'aoa'
+    o.rnn_size = 1024
+    o.input_encoding_size = 1024
+    o.att_hid_size = 512
+    o.refine = 1
+    o.refine_aoa = 1
+    o.use_ff = 0
+    o.decoder_type = 'AoA'
+    o.use_multi_head = 2
+    o.num_heads = 8
+    o.multi_head_scale = 1
+    o.mean_feats = 1
+    o.ctx_drop = 1
+    o.dropout_aoa = 0.3
+    return o
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -57,6 +83,15 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--batch', type=int, default=256)
     parser.add_argument('--iters', type=int, default=5)
+    parser.add_argument('--models', type=str,
+                        default='transformer,updown',
+                        help='comma list: transformer,updown,att2in2,aoa')
+    parser.add_argument('--fused', type=int, default=1,
+                        help='also bench the fully-fused on-device SCST step'
+                             ' (--on_device_cider path)')
+    parser.add_argument('--df_ngrams', type=int, default=1_200_000,
+                        help='synthetic df-table size (COCO words-df is'
+                             ' ~1.2M ngrams)')
     args = parser.parse_args()
     B, iters = args.batch, args.iters
     rng = np.random.RandomState(0)
@@ -67,8 +102,10 @@ def main():
                 jnp.asarray(rng.randn(B, 36, 2048).astype('float32')),
                 jnp.ones((B, 36), jnp.float32))
 
-    for name, opt in (('transformer', transformer_opt()),
-                      ('updown', updown_opt())):
+    all_opts = {'transformer': transformer_opt, 'updown': updown_opt,
+                'att2in2': att2in2_opt, 'aoa': aoa_opt}
+    for name in args.models.split(','):
+        opt = all_opts[name]()
         cap = setup(opt, vocab)
         variables = cap.init_params(jax.random.PRNGKey(0), att_len=36)
         fc, att, am = data(B)
@@ -166,6 +203,40 @@ def main():
         dt = (time.time() - t0) / iters
         print('%s SCST iter B=%dx%d samples: %.3fs -> %.2f iters/s' %
               (name, scb, opt.train_sample_n, dt, 1 / dt))
+
+        # fully-fused on-device SCST (decode + CIDEr-D + grad in one program)
+        if args.fused:
+            from captioning_tpu.ops.cider_device import DeviceCiderD, pad_gts
+            if not hasattr(main, '_dev_scorer'):
+                drng = np.random.RandomState(1)
+                df = {}
+                while len(df) < args.df_ngrams:
+                    n = drng.randint(1, 5)
+                    df[tuple(str(t) for t in
+                             drng.randint(1, V, n))] = float(
+                        drng.randint(1, 40))
+                main._dev_scorer = DeviceCiderD(df, ref_len=113287.0)
+            dev = main._dev_scorer
+            refs_np, mask_np = pad_gts(gts)
+            refs_j = jnp.asarray(refs_np)
+            mask_j = jnp.asarray(mask_np)
+            v, os_, out = trainer.sc_fused_step(
+                variables, opt_state, fcs, atts, ams, refs_j, mask_j,
+                1e-5, jax.random.PRNGKey(0), jax.random.PRNGKey(1), dev)
+            float(out['loss'])
+            t0 = time.time()
+            for i in range(iters):
+                r1, r2 = jax.random.split(jax.random.PRNGKey(i))
+                v, os_, out = trainer.sc_fused_step(
+                    v, os_, fcs, atts, ams, refs_j, mask_j, 1e-5, r1, r2,
+                    dev)
+                float(out['loss'])
+            dt = (time.time() - t0) / iters
+            print('%s SCST FUSED iter B=%dx%d samples (%d-ngram df): '
+                  '%.3fs -> %.2f iters/s' %
+                  (name, scb, opt.train_sample_n, len(dev.table_df), dt,
+                   1 / dt))
+            variables, opt_state = v, os_
 
 
 if __name__ == '__main__':
