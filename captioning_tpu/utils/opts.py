@@ -171,6 +171,14 @@ def build_parser():
                         help='persistent XLA compilation cache directory; '
                              'large decode programs compile in minutes cold '
                              'but load in seconds warm. Empty = disabled.')
+    parser.add_argument('--rng_impl', type=str, default='rbg',
+                        help='JAX PRNG implementation: rbg (fast TPU '
+                             'generator, the default — dropout-mask '
+                             'generation is ~6x cheaper, XE step ~1.4x '
+                             'faster end-to-end) | threefry2x32 (the JAX '
+                             'default splittable PRNG). Streams differ '
+                             'between impls; both are statistically sound '
+                             'for dropout/sampling.')
 
     # config
     parser.add_argument('--cfg', type=str, default=None)
@@ -227,6 +235,8 @@ def add_eval_options(parser):
     parser.add_argument('--batch_size', type=int, default=0)
     parser.add_argument('--compilation_cache_dir', type=str, default='',
                         help='persistent XLA compilation cache directory')
+    parser.add_argument('--rng_impl', type=str, default='rbg',
+                        help='JAX PRNG implementation (rbg | threefry2x32)')
     parser.add_argument('--device_mesh', type=int, default=0,
                         help='shard eval decode batches over all local '
                              'devices (single-process multi-chip; TPU-only '

@@ -41,7 +41,11 @@ def _hermetic_globals():
     rewards.CiderD_scorer = None
     rewards.Cider_scorer = None
     rewards.Bleu_scorer = None
+    # train()/eval() set the production PRNG impl (--rng_impl rbg); pin the
+    # JAX default impl per test so streams don't depend on test order
+    prng_impl = jax.config.jax_default_prng_impl
     yield
+    jax.config.update('jax_default_prng_impl', prng_impl)
     rewards.CiderD_scorer = None
     rewards.Cider_scorer = None
     rewards.Bleu_scorer = None

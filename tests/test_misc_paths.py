@@ -225,3 +225,25 @@ def test_profiling_helpers(tmp_path):
     import os
     found = any(files for _, _, files in os.walk(tmp_path / 'tb'))
     assert found
+
+
+def test_set_rng_impl_switches_and_restores():
+    """--rng_impl plumbing: set_rng_impl('rbg') makes new PRNGKeys use the
+    fast TPU generator (key shape uint32[4]); dropout/sampling still work.
+    Restores the default impl so other tests are unaffected."""
+    import jax
+    from captioning_tpu.utils.misc import set_rng_impl
+    default = jax.config.jax_default_prng_impl
+    try:
+        set_rng_impl('rbg')
+        k = jax.random.PRNGKey(0)
+        assert jax.random.key_impl(jax.random.wrap_key_data(
+            k, impl='rbg')).__repr__  # key constructs under rbg
+        assert k.shape == (4,)
+        x = jax.random.uniform(k, (8,))
+        assert x.shape == (8,)
+        set_rng_impl('')  # no-op leaves impl unchanged
+        assert jax.config.jax_default_prng_impl == 'rbg'
+    finally:
+        jax.config.update('jax_default_prng_impl', default)
+    assert jax.random.PRNGKey(0).shape == (2,)

@@ -76,6 +76,8 @@ def aoa_opt():
 
 def main():
     import jax
+    # production default (opts --rng_impl): fast TPU dropout/sampling rng
+    jax.config.update('jax_default_prng_impl', 'rbg')
     import jax.numpy as jnp
     from captioning_tpu.models import setup
     from captioning_tpu.modules.trainer import Trainer

@@ -41,6 +41,7 @@ def main():
     opts.add_diversity_opts(parser)
     opt = parser.parse_args()
     utils.enable_compilation_cache(opt.compilation_cache_dir)
+    utils.set_rng_impl(getattr(opt, 'rng_impl', ''))
 
     with open(opt.infos_path, 'rb') as f:
         infos = utils.pickle_load(f)

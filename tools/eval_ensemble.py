@@ -29,6 +29,8 @@ def main():
     opts.add_eval_options(parser)
     opts.add_diversity_opts(parser)
     opt = parser.parse_args()
+    utils.enable_compilation_cache(opt.compilation_cache_dir)
+    utils.set_rng_impl(getattr(opt, 'rng_impl', ''))
 
     model_infos = []
     model_paths = []

@@ -83,6 +83,7 @@ def _maybe_mesh(opt):
 
 def train(opt):
     utils.enable_compilation_cache(getattr(opt, 'compilation_cache_dir', ''))
+    utils.set_rng_impl(getattr(opt, 'rng_impl', ''))
     ################################
     # Build dataloader
     ################################
