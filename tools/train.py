@@ -231,6 +231,54 @@ def train(opt):
 
     d_model = getattr(opt, 'd_model', opt.input_encoding_size)
 
+    pending = None  # metrics of the last dispatched step, fetched deferred
+
+    def flush_metrics(p):
+        """Print + log a completed step's metrics.
+
+        Called AFTER the next step has been dispatched: the float() here
+        blocks until step i finishes while step i+1 already runs on
+        device, so the host print/tensorboard/history work never idles
+        the chip (JAX async dispatch)."""
+        out = p['out']
+        train_loss = float(out['loss'])
+        end = time.time()
+        if p['struc_flag']:
+            print("iter {} (epoch {}), train_loss = {:.3f}, lm_loss = "
+                  "{:.3f}, struc_loss = {:.3f}, time/batch = {:.3f}"
+                  .format(p['it'], p['epoch'], train_loss,
+                          float(out['lm_loss']), float(out['struc_loss']),
+                          end - p['start']))
+        elif not p['sc_flag']:
+            print("iter {} (epoch {}), train_loss = {:.3f}, time/batch = "
+                  "{:.3f}".format(p['it'], p['epoch'], train_loss,
+                                  end - p['start']))
+        else:
+            print("iter {} (epoch {}), avg_reward = {:.3f}, time/batch = "
+                  "{:.3f}".format(p['it'], p['epoch'],
+                                 float(out['reward']), end - p['start']))
+
+        it1 = p['it'] + 1
+        # Write the training loss summary (train.py:216-235)
+        if it1 % opt.losses_log_every == 0:
+            tb_add('train_loss', train_loss, it1)
+            tb_add('learning_rate', p['lr'], it1)
+            tb_add('scheduled_sampling_prob', p['ss_prob'], it1)
+            if p['sc_flag']:
+                tb_add('avg_reward', float(out['reward']), it1)
+            elif p['struc_flag']:
+                tb_add('lm_loss', float(out['lm_loss']), it1)
+                tb_add('struc_loss', float(out['struc_loss']), it1)
+                tb_add('reward', float(np.asarray(out['reward']).mean()),
+                       it1)
+                tb_add('reward_var',
+                       float(np.asarray(out['reward']).var(1).mean()),
+                       it1)
+            histories['loss_history'][it1] = (
+                train_loss if not p['sc_flag'] else float(out['reward']))
+            histories['lr_history'][it1] = p['lr']
+            histories['ss_prob_history'][it1] = p['ss_prob']
+
     try:
         while True:
             if epoch >= opt.max_epochs and opt.max_epochs != -1:
@@ -347,7 +395,8 @@ def train(opt):
                     variables, opt_state, fc, att, am, jnp.asarray(refs),
                     jnp.asarray(ref_mask), opt.current_lr, rng_g, rng_s,
                     device_scorer)
-                out['reward'] = float(out['reward'])
+                # reward stays a device array; flush_metrics fetches it one
+                # iteration later (keeps the fused path fully async)
             else:
                 rng_g, rng_s = jax.random.split(step_rng)
                 greedy_seq, gen_seq = trainer.sc_decode(
@@ -370,50 +419,21 @@ def train(opt):
                     drop_worst_flag=drop_worst_flag)
                 out['reward'] = float(reward[:, 0].mean())
 
-            # XE steps: defer the loss fetch one iteration so the device
-            # never idles on the host print (RL modes already sync on the
-            # reward round trip)
-            train_loss = float(out['loss'])
-            end = time.time()
-            if struc_flag:
-                print("iter {} (epoch {}), train_loss = {:.3f}, lm_loss = "
-                      "{:.3f}, struc_loss = {:.3f}, time/batch = {:.3f}"
-                      .format(iteration, epoch, train_loss,
-                              float(out['lm_loss']), float(out['struc_loss']),
-                              end - start))
-            elif not sc_flag:
-                print("iter {} (epoch {}), train_loss = {:.3f}, time/batch = "
-                      "{:.3f}".format(iteration, epoch, train_loss,
-                                      end - start))
-            else:
-                print("iter {} (epoch {}), avg_reward = {:.3f}, time/batch = "
-                      "{:.3f}".format(iteration, epoch, out['reward'],
-                                      end - start))
+            # step i+1 is dispatched before step i's metrics are fetched:
+            # flush the PREVIOUS iteration's pending record now, then queue
+            # this one
+            new_pending = {'out': out, 'it': iteration, 'epoch': epoch,
+                           'start': start, 'sc_flag': sc_flag,
+                           'struc_flag': struc_flag, 'lr': opt.current_lr,
+                           'ss_prob': ss_prob}
+            if pending is not None:
+                flush_metrics(pending)
+            pending = new_pending
 
             iteration += 1
             if data['bounds']['wrapped']:
                 epoch += 1
                 epoch_done = True
-
-            # Write the training loss summary (train.py:216-235)
-            if iteration % opt.losses_log_every == 0:
-                tb_add('train_loss', train_loss, iteration)
-                tb_add('learning_rate', opt.current_lr, iteration)
-                tb_add('scheduled_sampling_prob', ss_prob, iteration)
-                if sc_flag:
-                    tb_add('avg_reward', out['reward'], iteration)
-                elif struc_flag:
-                    tb_add('lm_loss', float(out['lm_loss']), iteration)
-                    tb_add('struc_loss', float(out['struc_loss']), iteration)
-                    tb_add('reward', float(np.asarray(out['reward']).mean()),
-                           iteration)
-                    tb_add('reward_var',
-                           float(np.asarray(out['reward']).var(1).mean()),
-                           iteration)
-                histories['loss_history'][iteration] = (
-                    train_loss if not sc_flag else out['reward'])
-                histories['lr_history'][iteration] = opt.current_lr
-                histories['ss_prob_history'][iteration] = ss_prob
 
             infos['iter'] = iteration
             infos['epoch'] = epoch
@@ -423,6 +443,11 @@ def train(opt):
             if ((iteration % opt.save_checkpoint_every == 0 and
                  not opt.save_every_epoch) or
                     (epoch_done and opt.save_every_epoch)):
+                # catch the deferred metrics up so histories are complete
+                # in the checkpoint
+                if pending is not None:
+                    flush_metrics(pending)
+                    pending = None
                 eval_kwargs = {'split': 'val', 'dataset': opt.input_json}
                 eval_kwargs.update(vars(opt))
                 val_loss, predictions, lang_stats = eval_utils.eval_split(
@@ -466,6 +491,10 @@ def train(opt):
                 if best_flag:
                     utils.save_checkpoint(opt, variables, infos, opt_state,
                                           append='best')
+
+        if pending is not None:
+            flush_metrics(pending)
+            pending = None
 
     except (RuntimeError, KeyboardInterrupt):
         print('Save ckpt on exception ...')
