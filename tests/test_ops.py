@@ -103,3 +103,30 @@ def test_mha_step_fused_matches_ref():
         assert float(jnp.abs(o1 - o2).max()) < 1e-5, t
         assert float(jnp.abs(k1 - k2).max()) < 1e-6, t
         assert float(jnp.abs(v1 - v2).max()) < 1e-6, t
+
+
+def test_pallas_topk_matches_lax_top_k():
+    """Streaming top-k (interpret mode): values AND indices identical to
+    jax.lax.top_k, including tie runs, -inf entries, all--inf rows, and
+    non-multiple-of-block shapes."""
+    import jax
+    from captioning_tpu.ops.topk import topk_lastdim
+
+    rng = np.random.RandomState(3)
+    cases = [(5, 300, 5), (3, 2048, 5), (2, 4750, 8), (1, 96, 3)]
+    for B, N, k in cases:
+        x = rng.randn(B, N).astype('float32')
+        x[:, :7] = 2.5                      # tie run at the head
+        x[0, N // 2:N // 2 + 9] = 2.5       # tie run crossing chunks
+        x[-1, -5:] = -np.inf
+        v0, i0 = jax.lax.top_k(jnp.asarray(x), k)
+        v1, i1 = topk_lastdim(jnp.asarray(x), k, block_n=256,
+                              interpret=True)
+        assert np.array_equal(np.asarray(v0), np.asarray(v1)), (B, N, k)
+        assert np.array_equal(np.asarray(i0), np.asarray(i1)), (B, N, k)
+
+    x = np.full((2, 200), -np.inf, np.float32)
+    v0, i0 = jax.lax.top_k(jnp.asarray(x), 4)
+    v1, i1 = topk_lastdim(jnp.asarray(x), 4, block_n=128, interpret=True)
+    assert np.array_equal(np.asarray(v0), np.asarray(v1))
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))

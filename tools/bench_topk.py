@@ -10,7 +10,11 @@ Both are tie-equivalent (lax.top_k is stable by index; flat index order ==
 (beam, per-beam-rank) order for equal values).
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import jax
 import jax.numpy as jnp
@@ -35,12 +39,20 @@ def twostage(sums, lp3):
     return ys, beam_ix, sel_ix
 
 
+def pallas_stream(sums, lp3):
+    from captioning_tpu.ops.topk import topk_lastdim
+    cands = sums[..., None] + lp3                       # [B, BD, V1]
+    ys, ix = topk_lastdim(cands.reshape(B, BD * V1), BD)
+    return ys, ix // V1, ix % V1
+
+
 def main():
     rng = np.random.RandomState(0)
     sums = jnp.asarray(rng.randn(B, BD).astype('float32'))
     lp3 = jnp.asarray(rng.randn(B, BD, V1).astype('float32'))
 
-    fns = {'single': jax.jit(single), 'twostage': jax.jit(twostage)}
+    fns = {'single': jax.jit(single), 'twostage': jax.jit(twostage),
+           'pallas': jax.jit(pallas_stream)}
     outs = {}
     for name, fn in fns.items():
         ys, bix, six = fn(sums, lp3)
@@ -54,10 +66,12 @@ def main():
         dt = (time.perf_counter() - t0) / n
         print('%s: %.3f ms' % (name, dt * 1e3))
 
-    same_vals = np.allclose(outs['single'][0], outs['twostage'][0])
-    same_sel = (outs['single'][1] == outs['twostage'][1]).all() and \
-        (outs['single'][2] == outs['twostage'][2]).all()
-    print('values equal:', same_vals, ' selections identical:', same_sel)
+    for other in ('twostage', 'pallas'):
+        same_vals = np.allclose(outs['single'][0], outs[other][0])
+        same_sel = (outs['single'][1] == outs[other][1]).all() and \
+            (outs['single'][2] == outs[other][2]).all()
+        print('%s vs single: values equal: %s  selections identical: %s' %
+              (other, same_vals, same_sel))
 
 
 if __name__ == '__main__':
