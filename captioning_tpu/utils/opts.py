@@ -172,13 +172,16 @@ def build_parser():
                              'large decode programs compile in minutes cold '
                              'but load in seconds warm. Empty = disabled.')
     parser.add_argument('--rng_impl', type=str, default='rbg',
-                        help='JAX PRNG implementation: rbg (fast TPU '
-                             'generator, the default — dropout-mask '
-                             'generation is ~6x cheaper, XE step ~1.4x '
-                             'faster end-to-end) | threefry2x32 (the JAX '
-                             'default splittable PRNG). Streams differ '
-                             'between impls; both are statistically sound '
-                             'for dropout/sampling.')
+                        help='JAX PRNG implementation for TRAINING: rbg '
+                             '(fast TPU generator, the default — '
+                             'dropout-mask generation is ~6x cheaper, XE '
+                             'step ~1.4x faster end-to-end) | '
+                             'threefry2x32 (the JAX default splittable '
+                             'PRNG). Streams differ between impls; both '
+                             'are statistically sound for dropout/'
+                             'sampling. Decode-only paths measured ~10% '
+                             'SLOWER under rbg, so eval defaults to '
+                             'threefry (see add_eval_options).')
 
     # config
     parser.add_argument('--cfg', type=str, default=None)
@@ -235,8 +238,12 @@ def add_eval_options(parser):
     parser.add_argument('--batch_size', type=int, default=0)
     parser.add_argument('--compilation_cache_dir', type=str, default='',
                         help='persistent XLA compilation cache directory')
-    parser.add_argument('--rng_impl', type=str, default='rbg',
-                        help='JAX PRNG implementation (rbg | threefry2x32)')
+    parser.add_argument('--rng_impl', type=str, default='',
+                        help='JAX PRNG implementation (rbg | threefry2x32).'
+                             ' Empty = JAX default threefry2x32: decode '
+                             'measured ~10% slower under rbg (rbg is the '
+                             'TRAINING default where dropout-mask '
+                             'generation dominates the rng cost)')
     parser.add_argument('--device_mesh', type=int, default=0,
                         help='shard eval decode batches over all local '
                              'devices (single-process multi-chip; TPU-only '
