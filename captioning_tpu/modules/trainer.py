@@ -218,16 +218,18 @@ class Trainer:
 
     def struc_fused_step(self, variables, opt_state, fc, att, labels, masks,
                          am, refs, ref_mask, lr, rng, rng_lm, device_scorer):
-        """Fully-fused structure-loss iteration (e.g. new_self_critical):
-        sampling + on-device CIDEr-D scores + structure loss (+ optional XE
-        mix) + gradient in one jitted program.  Not available for PPO or
-        self-cider rewards (those keep the host path)."""
+        """Fully-fused structure-loss iteration (e.g. new_self_critical or
+        PPO): sampling + on-device CIDEr-D scores + structure/PPO loss
+        (+ optional XE mix) + gradient in one jitted program.  PPO's frozen
+        old policy runs its logprob scan inside the same program.  Not
+        available for self-cider rewards (those keep the host path)."""
         opt = self.opt
         key = 'struc_fused'
         if key not in self._cache:
             cap = self.captioner
             w = float(opt.structure_loss_weight)
             sample_n = int(opt.train_sample_n)
+            use_ppo = int(getattr(opt, 'use_ppo', 0))
             out_ls = int(getattr(opt, 'struc_use_logsoftmax', False) or
                          opt.structure_loss_type == 'softmax_margin' or
                          'margin' not in opt.structure_loss_type)
@@ -237,6 +239,7 @@ class Trainer:
                       'sample_n': sample_n}
             cider_w = float(opt.cider_reward_weight)
             entropy_w = float(getattr(opt, 'entropy_reward_weight', 0))
+            old_variables = self.old_variables
 
             def loss_fn(variables, fc, att, labels, masks, am, refs,
                         ref_mask, rng, rng_lm):
@@ -257,12 +260,24 @@ class Trainer:
                 scores = device_scorer.score(gen_seq, refs_exp,
                                              mask_exp) * cider_w
                 scores = jax.lax.stop_gradient(scores.astype(jnp.float32))
-                struc = losses.structure_loss(
-                    gen_lp, gen_seq, scores, opt.structure_loss_type,
-                    sample_n, entropy_reward_weight=entropy_w)
+                if use_ppo:
+                    dm_old = cap.bind(old_variables, train=False)
+                    lp_old = decoding.scan_logprobs(
+                        dm_old, fc, att, am, gen_seq,
+                        jax.random.PRNGKey(0), sample_n=sample_n)
+                    struc = losses.ppo_loss(
+                        gen_lp, lp_old, gen_seq, scores, sample_n,
+                        cliprange=float(opt.ppo_cliprange),
+                        kl_coef=float(opt.ppo_kl_coef))
+                else:
+                    struc = losses.structure_loss(
+                        gen_lp, gen_seq, scores, opt.structure_loss_type,
+                        sample_n, entropy_reward_weight=entropy_w)
                 loss = (1 - w) * lm_loss + w * struc['loss']
                 aux = {'lm_loss': lm_loss, 'struc_loss': struc['loss'],
                        'reward': struc['reward']}
+                aux.update({k: v for k, v in struc.items()
+                            if k not in ('loss', 'reward')})
                 return loss, aux
 
             def step(variables, opt_state, fc, att, labels, masks, am,

@@ -333,10 +333,10 @@ def train(opt):
             out = {}
             if struc_flag and getattr(opt, 'on_device_cider', 0) and \
                     opt.cider_reward_weight > 0 and \
-                    opt.bleu_reward_weight == 0 and not opt.use_ppo and \
+                    opt.bleu_reward_weight == 0 and \
                     getattr(opt, 'self_cider_reward_weight', 0) == 0 and \
                     not drop_worst_flag:
-                # fully fused structure-loss (e.g. NSC) iteration
+                # fully fused structure-loss (NSC, PPO, ...) iteration
                 import jax.numpy as jnp
                 if device_scorer is None:
                     from captioning_tpu.ops.cider_device import DeviceCiderD
