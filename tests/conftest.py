@@ -26,6 +26,8 @@ import random  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+_DEFAULT_PRNG_IMPL = jax.config.jax_default_prng_impl
+
 
 @pytest.fixture(autouse=True)
 def _hermetic_globals():
@@ -41,11 +43,13 @@ def _hermetic_globals():
     rewards.CiderD_scorer = None
     rewards.Cider_scorer = None
     rewards.Bleu_scorer = None
-    # train()/eval() set the production PRNG impl (--rng_impl rbg); pin the
-    # JAX default impl per test so streams don't depend on test order
-    prng_impl = jax.config.jax_default_prng_impl
+    # train()/eval() set the production PRNG impl (--rng_impl rbg); restore
+    # the import-time default after every test so streams don't depend on
+    # test order.  The baseline is captured ONCE at conftest import — a
+    # per-test capture would record the leaked value when a module-scoped
+    # fixture (which runs before this autouse fixture) calls train().
     yield
-    jax.config.update('jax_default_prng_impl', prng_impl)
+    jax.config.update('jax_default_prng_impl', _DEFAULT_PRNG_IMPL)
     rewards.CiderD_scorer = None
     rewards.Cider_scorer = None
     rewards.Bleu_scorer = None
