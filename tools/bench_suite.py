@@ -157,6 +157,10 @@ def main():
                                           labels, masks, amx, 4e-4, 0.0,
                                           jax.random.PRNGKey(0))
             float(out['loss'])
+            # pipelined like the production loop: tools/train.py defers the
+            # loss fetch one iteration, so steps dispatch back-to-back and
+            # the per-call sync RTT (~40ms through the axon tunnel) is not
+            # paid per step
             t0 = time.time()
             n = max(iters, 5)
             for i in range(n):
@@ -229,13 +233,16 @@ def main():
                 variables, opt_state, fcs, atts, ams, refs_j, mask_j,
                 1e-5, jax.random.PRNGKey(0), jax.random.PRNGKey(1), dev)
             float(out['loss'])
+            # pipelined: the production loop defers the loss/reward fetch
+            # (tools/train.py flush_metrics), so iterations dispatch
+            # back-to-back with no per-call sync
             t0 = time.time()
             for i in range(iters):
                 r1, r2 = jax.random.split(jax.random.PRNGKey(i))
                 v, os_, out = trainer.sc_fused_step(
                     v, os_, fcs, atts, ams, refs_j, mask_j, 1e-5, r1, r2,
                     dev)
-                float(out['loss'])
+            float(out['loss'])
             dt = (time.time() - t0) / iters
             print('%s SCST FUSED iter B=%dx%d samples (%d-ngram df): '
                   '%.3fs -> %.2f iters/s' %
