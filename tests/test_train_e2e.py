@@ -98,3 +98,29 @@ def test_eval_split_runs(ds, tmp_path, monkeypatch):
     loss, preds, lang = eval_utils.eval_split(cap, variables, loader,
                                               eval_kwargs)
     assert len(preds) == 4
+
+
+def test_deferred_metrics_histories_complete(ds, tmp_path, monkeypatch):
+    """The deferred metrics fetch (tools/train.py flush_metrics) must not
+    drop or shift history entries: with losses_log_every=1 every iteration
+    logs its loss, and the checkpoint catches the pending record up."""
+    monkeypatch.chdir(tmp_path)
+    from tools.train import train
+    ckpt = str(tmp_path / 'log_defer')
+    opt = make_opt(ds, 'newfc', max_epochs=2, checkpoint_path=ckpt,
+                   save_checkpoint_every=3, language_eval=0,
+                   val_images_use=4, id='defer', losses_log_every=1)
+    opt.start_from = ckpt
+    train(opt)
+    import pickle
+    with open(os.path.join(ckpt, 'infos_defer.pkl'), 'rb') as f:
+        infos = pickle.load(f, encoding='latin-1')
+    with open(os.path.join(ckpt, 'histories_defer.pkl'), 'rb') as f:
+        hist = pickle.load(f, encoding='latin-1')
+    n_iter = infos['iter']
+    assert n_iter >= 4
+    # every logged iteration 1..n_iter present, no gaps
+    assert sorted(hist['loss_history'].keys()) == list(range(1, n_iter + 1))
+    assert sorted(hist['lr_history'].keys()) == list(range(1, n_iter + 1))
+    for v in hist['loss_history'].values():
+        assert np.isfinite(v)
