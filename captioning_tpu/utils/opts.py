@@ -179,7 +179,7 @@ def build_parser():
                              'threefry2x32 (the JAX default splittable '
                              'PRNG). Streams differ between impls; both '
                              'are statistically sound for dropout/'
-                             'sampling. Decode-only paths measured ~10% '
+                             'sampling. Decode-only paths measured ~10%% '
                              'SLOWER under rbg, so eval defaults to '
                              'threefry (see add_eval_options).')
 
@@ -241,7 +241,7 @@ def add_eval_options(parser):
     parser.add_argument('--rng_impl', type=str, default='',
                         help='JAX PRNG implementation (rbg | threefry2x32).'
                              ' Empty = JAX default threefry2x32: decode '
-                             'measured ~10% slower under rbg (rbg is the '
+                             'measured ~10%% slower under rbg (rbg is the '
                              'TRAINING default where dropout-mask '
                              'generation dominates the rng cost)')
     parser.add_argument('--device_mesh', type=int, default=0,

@@ -497,6 +497,15 @@ def train(opt):
             pending = None
 
     except (RuntimeError, KeyboardInterrupt):
+        # catch the deferred metrics up so the exception checkpoint's
+        # histories have no gap (guarded: the pending step itself may be
+        # what raised)
+        try:
+            if pending is not None:
+                flush_metrics(pending)
+                pending = None
+        except Exception:
+            pass
         print('Save ckpt on exception ...')
         utils.save_checkpoint(opt, variables, infos, opt_state)
         print('Save ckpt done.')
