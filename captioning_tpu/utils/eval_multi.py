@@ -63,7 +63,13 @@ def eval_allspice(dataset, preds_n, model_id, split):
     for k in sp_scores[0].keys():
         if k != 'All':
             vals = np.array([s[k]['f'] for s in sp_scores])
-            out['AllSPICE_' + k] = float(vals[vals == vals].mean())
+            finite = vals[vals == vals]  # NaN-filtered (empty when the
+            # category never fired on this eval set)
+            if finite.size:
+                out['AllSPICE_' + k] = float(finite.mean())
+            else:
+                out['AllSPICE_' + k] = None
+                out.setdefault('AllSPICE_skipped_categories', []).append(k)
     return {'overall': out, 'imgToEvalAllSPICE': img_to_eval}
 
 
@@ -100,8 +106,14 @@ def eval_oracle(dataset, preds_n, model_id, split):
         if metric == 'captions':
             continue
         tmp = np.array([v[metric] for v in out['ImgToEval'].values()])
-        tmp = tmp[tmp != -100]
-        out['overall'][metric] = tmp.mean()
+        tmp = tmp[(tmp != -100) & (tmp == tmp)]
+        # every image sentinel/NaN: report 0 with a skip count rather than
+        # warning and propagating nan into the output json
+        if tmp.size:
+            out['overall'][metric] = tmp.mean()
+        else:
+            out['overall'][metric] = 0.0
+            out['overall'].setdefault('skipped_metrics', []).append(metric)
     return out
 
 

@@ -101,7 +101,11 @@ def language_eval(dataset, preds, preds_n, eval_kwargs, split):
             if k != 'All':
                 vals = np.array([v['SPICE'][k]['f']
                                  for v in img_to_eval.values()])
-                out['SPICE_' + k] = float(vals[vals == vals].mean())
+                finite = vals[vals == vals]
+                # all-NaN category (never fired on this set): explicit None
+                # rather than an empty-slice nan mean
+                out['SPICE_' + k] = (float(finite.mean()) if finite.size
+                                     else None)
 
     for p in preds_filt:
         img_to_eval[p['image_id']]['caption'] = p['caption']

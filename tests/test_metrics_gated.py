@@ -131,9 +131,10 @@ def test_language_eval_spice_breakdown(fake_jars, tmp_path, monkeypatch):
     out = language_eval(_annotations(tmp_path), preds, [],
                         {'id': 'jt', 'eval_oracle': 0}, 'val')
     assert 'SPICE' in out and 'METEOR' in out
-    # per-category breakdown, nan categories averaged over non-nan only
+    # per-category breakdown, nan categories averaged over non-nan only;
+    # all-NaN categories become explicit None (no empty-slice warning)
     assert 'SPICE_Object' in out and np.isfinite(out['SPICE_Object'])
-    assert 'SPICE_Relation' not in out or np.isnan(out['SPICE_Relation'])
+    assert out.get('SPICE_Relation', None) is None
 
 
 def test_allspice_with_jar(fake_jars, tmp_path, monkeypatch):
@@ -143,10 +144,18 @@ def test_allspice_with_jar(fake_jars, tmp_path, monkeypatch):
                {'image_id': 1, 'caption': 'a person rides'},
                {'image_id': 2, 'caption': 'a dog on a couch'},
                {'image_id': 2, 'caption': 'a cat sits'}]
-    out = eval_allspice(_annotations(tmp_path), preds_n, 'jt', 'val')
+    import warnings
+    with warnings.catch_warnings():
+        # the all-NaN 'Relation' category must not warn (empty-slice mean)
+        warnings.simplefilter('error', RuntimeWarning)
+        out = eval_allspice(_annotations(tmp_path), preds_n, 'jt', 'val')
     assert out is not None
     assert 'AllSPICE' in out['overall']
     assert 'AllSPICE_Object' in out['overall']
+    # fake jar reports Relation as NaN for every image -> explicit None +
+    # skip record instead of a nan mean
+    assert out['overall']['AllSPICE_Relation'] is None
+    assert out['overall']['AllSPICE_skipped_categories'] == ['Relation']
     assert 1 in out['imgToEvalAllSPICE']
     # two captions joined -> 7 words (incl. ' . ') -> f = 0.9 on 'a man
     # riding a horse . a person rides' (11 tokens -> capped at 1.0)
