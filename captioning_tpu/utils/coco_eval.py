@@ -5,9 +5,9 @@ Replaces the reference's coco-caption submodule stack
 + COCOEvalCap with PTBTokenizer(Java), BLEU, METEOR(Java), ROUGE-L, CIDEr,
 SPICE(Java)).  Native reimplementations:
 
-* PTB-style tokenizer: lowercase + punctuation strip, matching the
-  PTBTokenizer post-processing used by coco-caption (which removes
-  punctuation from the token stream).
+* PTB tokenizer: native port of Stanford PTBTokenizer semantics
+  (contraction splitting, hyphenated words whole, abbreviation periods)
+  + the coco-caption punctuation filter — see ptb_tokenizer.py.
 * BLEU-1..4: coco-caption BleuScorer semantics ('closest' length BP).
 * ROUGE-L: beta=1.2 LCS F-measure, max over refs.
 * CIDEr: corpus-df tf-idf, as in the cider submodule.
@@ -25,7 +25,6 @@ SPICE(Java)).  Native reimplementations:
 from __future__ import annotations
 
 import json
-import re
 from collections import defaultdict
 from typing import Dict, List
 
@@ -33,16 +32,9 @@ import numpy as np
 
 from .cider_scorer import Bleu, Cider
 
-# PTBTokenizer's removed punctuation (coco-caption tokenizer.py PUNCTUATIONS)
-_PUNCT = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
-          ".", "?", "!", ",", ":", "-", "--", "...", ";"}
-_TOKEN_RE = re.compile(r"[^\w']+")
-
-
-def ptb_tokenize(caption: str) -> str:
-    """Lowercase, split on non-word chars, drop PTB punctuation tokens."""
-    toks = [t for t in _TOKEN_RE.split(caption.lower()) if t and t not in _PUNCT]
-    return ' '.join(toks)
+# Native PTB tokenization matching the Java PTBTokenizer + coco-caption
+# punctuation filter (see ptb_tokenizer.py for the fidelity contract)
+from .ptb_tokenizer import ptb_tokenize  # noqa: F401  (re-exported API)
 
 
 def tokenize_dict(d: Dict[int, List[str]]) -> Dict[int, List[str]]:
