@@ -145,6 +145,45 @@ def penalty_fn(length_penalty: str):
     raise ValueError('unknown length_penalty %s' % length_penalty)
 
 
+def penalty_fn_dynamic(pen_type: str, alpha):
+    """``penalty_fn`` with a TRACED alpha (the type stays static): an eval
+    sweep over length-penalty strengths reuses one compiled beam program."""
+    if not pen_type:
+        return lambda length, logprobs: logprobs
+    if pen_type == 'wu':
+        def wu(length, logprobs):
+            mod = ((5.0 + length) ** alpha) / ((5.0 + 1.0) ** alpha)
+            return logprobs / mod
+        return wu
+    if pen_type == 'avg':
+        return lambda length, logprobs: logprobs / jnp.maximum(length, 1)
+    raise ValueError('unknown length_penalty %s' % pen_type)
+
+
+def _beam_dynamic_setup(dm, opt: Dict[str, Any],
+                        dynamic_params: Optional[Dict]):
+    """Resolve (temperature, length_penalty fn, apply_unk, unk_scale).
+
+    With ``dynamic_params`` ({'temperature', 'suppress_unk', 'lp_alpha'}
+    traced scalars), the compiled program is shared across temperatures,
+    UNK suppression on/off, and length-penalty strengths (VERDICT round-2
+    item 8); only the penalty TYPE and the structural flags stay in the
+    compile key.
+    """
+    if dynamic_params is not None:
+        lp_spec = opt.get('length_penalty', '') or ''
+        pen_type = lp_spec.split('_')[0] if lp_spec else ''
+        length_penalty = penalty_fn_dynamic(pen_type,
+                                            dynamic_params['lp_alpha'])
+        return (dynamic_params['temperature'], length_penalty,
+                dm.unk_idx is not None, dynamic_params['suppress_unk'])
+    temperature = float(opt.get('temperature', 1.0))
+    length_penalty = penalty_fn(opt.get('length_penalty', ''))
+    suppress_unk = int(opt.get('suppress_UNK', 0))
+    return (temperature, length_penalty,
+            bool(suppress_unk) and dm.unk_idx is not None, 1.0)
+
+
 def sample_next_word(rng, logprobs, sample_method: str, temperature: float):
     """reference CaptionModel.sample_next_word (:370-407)."""
     if sample_method == 'greedy':
@@ -429,7 +468,8 @@ def scan_logprobs(dm: DecodeModel, fc_feats, att_feats, att_masks, gen_seq,
 # ---------------------------------------------------------------------------
 
 def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
-                rng, opt: Dict[str, Any]):
+                rng, opt: Dict[str, Any],
+                dynamic_params: Optional[Dict] = None):
     """Batched (diverse) beam search (reference CaptionModel.py:35-209).
 
     init_logprobs: [B, V+1] from the bos step (un-repeated batch).
@@ -442,14 +482,13 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
     the dominant memory traffic); winners' distributions are replayed
     post-hoc by ``replay_beam_logps`` with identical constraint masks.
     """
-    temperature = float(opt.get('temperature', 1.0))
+    temperature, length_penalty, apply_unk, unk_scale = _beam_dynamic_setup(
+        dm, opt, dynamic_params)
     beam_size = int(opt.get('beam_size', 10))
     group_size = int(opt.get('group_size', 1))
     diversity_lambda = float(opt.get('diversity_lambda', 0.5))
     decoding_constraint = int(opt.get('decoding_constraint', 0))
     remove_bad_endings = int(opt.get('remove_bad_endings', 0))
-    suppress_unk = int(opt.get('suppress_UNK', 0))
-    length_penalty = penalty_fn(opt.get('length_penalty', ''))
     bdash = beam_size // group_size
     G = group_size
     B = init_logprobs.shape[0]
@@ -529,8 +568,8 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
                 was_bad = _bad_endings_mask(prev_tok, dm.bad_endings_ix, V1)
                 lp = lp.at[:, 0].add(
                     jnp.where(has_prev & was_bad, -jnp.inf, 0.0))
-            if suppress_unk and dm.unk_idx is not None:
-                lp = lp.at[:, dm.unk_idx].add(-1000.0)
+            if apply_unk:
+                lp = lp.at[:, dm.unk_idx].add(-1000.0 * unk_scale)
 
             unaug_lp = lp.reshape(B, bdash, V1)
 
@@ -686,7 +725,8 @@ def _expand_group(vec_g, B, bdash):
 
 
 def replay_beam_logps(dm: DecodeModel, feats, seqs, rng,
-                      opt: Dict[str, Any]):
+                      opt: Dict[str, Any],
+                      dynamic_params: Optional[Dict] = None):
     """Reproduce the per-step constrained distributions for given beam
     winners (what the reference stored as done_beams 'logps').
 
@@ -695,10 +735,10 @@ def replay_beam_logps(dm: DecodeModel, feats, seqs, rng,
     log_softmax(lp / temperature) exactly like the beam loop
     (CaptionModel.py:204), then the same constraint masks are applied.
     """
-    temperature = float(opt.get('temperature', 1.0))
+    temperature, _, apply_unk, unk_scale = _beam_dynamic_setup(
+        dm, opt, dynamic_params)
     decoding_constraint = int(opt.get('decoding_constraint', 0))
     remove_bad_endings = int(opt.get('remove_bad_endings', 0))
-    suppress_unk = int(opt.get('suppress_UNK', 0))
     N, L = seqs.shape
     V1 = dm.vocab_plus
     state0 = dm.init_state(N)
@@ -714,7 +754,7 @@ def replay_beam_logps(dm: DecodeModel, feats, seqs, rng,
         # normalization (see beam_search body)
         lp, state = dm.step(it, feats, state, step_rng, False,
                             uniform_t=True)
-        if temperature == 1.0:
+        if isinstance(temperature, float) and temperature == 1.0:
             lp = jax.nn.log_softmax(lp, axis=-1)
         else:
             lp = jnp.where(t > 0,
@@ -727,8 +767,8 @@ def replay_beam_logps(dm: DecodeModel, feats, seqs, rng,
         if remove_bad_endings and dm.bad_endings_ix:
             was_bad = _bad_endings_mask(it, dm.bad_endings_ix, V1)
             lp = lp.at[:, 0].add(jnp.where(has_prev & was_bad, -jnp.inf, 0.0))
-        if suppress_unk and dm.unk_idx is not None:
-            lp = lp.at[:, dm.unk_idx].add(-1000.0)
+        if apply_unk:
+            lp = lp.at[:, dm.unk_idx].add(-1000.0 * unk_scale)
         return (state, t + 1), lp
 
     (_, _), lps = jax.lax.scan(
@@ -744,7 +784,8 @@ def replay_beam_logps(dm: DecodeModel, feats, seqs, rng,
 
 
 def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
-                opt: Dict[str, Any], want_logps: bool = True):
+                opt: Dict[str, Any], want_logps: bool = True,
+                dynamic_params: Optional[Dict] = None):
     """reference AttModel._sample_beam (:218-256).
 
     Returns (seq [B*sample_n, L], seqLogprobs [B*sample_n, L, V+1],
@@ -782,7 +823,8 @@ def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
         feats_per_beam = repeat_tree(group_size, feats)
     else:
         feats_per_beam = repeat_tree(group_size * bdash, feats)
-    done = beam_search(dm, init_logprobs, state, feats_per_beam, bs_rng, opt)
+    done = beam_search(dm, init_logprobs, state, feats_per_beam, bs_rng, opt,
+                       dynamic_params=dynamic_params)
 
     if sample_n == 1:
         seq = done['seq'][:, 0, 0]                       # best of group 0
@@ -799,7 +841,8 @@ def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
             stats = {'ent_sum': done['ent_sum'][:, 0].reshape(B * sample_n),
                      'lp_sum': done['lp_sum'][:, 0].reshape(B * sample_n)}
             return seq, stats, done
-    logps = replay_beam_logps(dm, replay_feats, seq, rng, opt)
+    logps = replay_beam_logps(dm, replay_feats, seq, rng, opt,
+                              dynamic_params=dynamic_params)
     return seq, logps, done
 
 

@@ -299,6 +299,21 @@ class Captioner:
         return self._jit_cache[key](variables, fc_feats, att_feats,
                                     att_masks, rng, dyn)
 
+    @staticmethod
+    def _dynamic_beam_params(opt: Dict[str, Any]):
+        """(static lp type, traced operands) for the beam program: the
+        temperature, UNK suppression, and length-penalty alpha become
+        runtime scalars so eval sweeps over them reuse ONE compiled
+        program per (beam_size, group_size, shapes)."""
+        lp_spec = opt.get('length_penalty', '') or ''
+        alpha = float(lp_spec.split('_')[1]) if lp_spec else 0.0
+        pen_type = lp_spec.split('_')[0] if lp_spec else ''
+        dyn = {'temperature': jnp.float32(opt.get('temperature', 1.0) or 1.0),
+               'suppress_unk': jnp.float32(
+                   1.0 if int(opt.get('suppress_UNK', 0) or 0) else 0.0),
+               'lp_alpha': jnp.float32(alpha)}
+        return pen_type, dyn
+
     def sample_beam_jit(self, variables, fc_feats, att_feats, att_masks, rng,
                         opt: Dict[str, Any], train: bool = False,
                         want_logps: bool = True):
@@ -306,20 +321,31 @@ class Captioner:
 
         want_logps=False skips the winner-logprob replay scan; the middle
         element is then {'ent_sum', 'lp_sum'} per row (see decoding).
+
+        temperature / suppress_UNK / length-penalty alpha are traced
+        operands (compile-key hygiene): only the penalty TYPE and the
+        structural flags key the compiled program.
         """
         from ..engine import decoding
-        key = ('beam', self._freeze_opt(opt), train, want_logps)
+        pen_type, dyn = self._dynamic_beam_params(opt)
+        opt_s = {k: v for k, v in opt.items()
+                 if k not in ('temperature', 'suppress_UNK',
+                              'length_penalty')}
+        key = ('beam', pen_type, self._freeze_opt(opt_s), train, want_logps)
         if key not in self._jit_cache:
-            opt_c = dict(opt)
+            # the closed-over opt keeps length_penalty so beam_search can
+            # read the static penalty type; the traced alpha overrides it
+            opt_c = dict(opt_s, length_penalty=opt.get('length_penalty', ''))
 
-            def fn(variables, fc, att, am, rng):
+            def fn(variables, fc, att, am, rng, dyn):
                 dm = self.bind(variables, train)
                 return decoding.sample_beam(dm, fc, att, am, rng, opt_c,
-                                            want_logps=want_logps)
+                                            want_logps=want_logps,
+                                            dynamic_params=dyn)
 
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key](variables, fc_feats, att_feats,
-                                    att_masks, rng)
+                                    att_masks, rng, dyn)
 
     def forward_tf_jit(self, variables, fc_feats, att_feats, seq, att_masks,
                        ss_prob=0.0, rng=None, train: bool = False):

@@ -162,11 +162,14 @@ def build_parser():
                              'Empty = all devices on the data axis.')
     parser.add_argument('--use_pallas', type=int, default=0,
                         help='enable pallas fused kernels on TPU')
-    parser.add_argument('--on_device_cider', type=int, default=0,
-                        help='fuse the whole SCST iteration (decode + '
-                             'CIDEr-D reward + grad) into one jitted '
-                             'program using the on-device scorer; requires '
-                             'a pure-CIDEr reward')
+    parser.add_argument('--on_device_cider', type=int, default=-1,
+                        help='fuse the whole SCST/structure iteration '
+                             '(decode + CIDEr-D reward + grad) into one '
+                             'jitted program using the on-device scorer. '
+                             '-1 (default) = auto: on whenever the reward '
+                             'is pure CIDEr (no bleu/self-cider weight, no '
+                             'drop-worst); 0 = force the host-reward path; '
+                             '1 = on when eligible')
     parser.add_argument('--compilation_cache_dir', type=str, default='',
                         help='persistent XLA compilation cache directory; '
                              'large decode programs compile in minutes cold '

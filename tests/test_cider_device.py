@@ -7,6 +7,8 @@ import jax.numpy as jnp
 
 from tests.util_synth import build_synthetic_dataset
 
+pytestmark = pytest.mark.slow  # heavy tier: see pytest.ini
+
 
 @pytest.fixture(scope='module')
 def ds(tmp_path_factory):

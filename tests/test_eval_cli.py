@@ -10,6 +10,8 @@ import pytest
 
 from tests.util_synth import build_synthetic_dataset, make_opt
 
+pytestmark = pytest.mark.slow  # heavy tier: see pytest.ini
+
 
 @pytest.fixture(scope='module')
 def trained(tmp_path_factory):

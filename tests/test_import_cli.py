@@ -10,22 +10,33 @@ from types import SimpleNamespace
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: see pytest.ini
+
 torch = pytest.importorskip('torch')
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 VOCAB = {str(i): 'w%d' % i for i in range(1, 21)}
 
 
-def test_import_cli_roundtrip(tmp_path):
+# updown + the MODEL_ZOO RL headliners (transformer + SC/NSC at
+# MODEL_ZOO.md:105-116, att2in + SC/NSC at :57-68): the import path must
+# work for every family someone would actually download.
+@pytest.mark.parametrize('model,extra', [
+    ('updown', {}),
+    ('att2in2', {}),
+    ('transformer', dict(N_enc=2, N_dec=2, d_model=16, d_ff=32,
+                         num_att_heads=4, dropout=0.1)),
+])
+def test_import_cli_roundtrip(tmp_path, model, extra):
     sys.path.append('/root/reference')
     from captioning import models as ref_models
 
     opt = SimpleNamespace(
-        caption_model='updown', vocab_size=20, input_encoding_size=16,
+        caption_model=model, vocab_size=20, input_encoding_size=16,
         rnn_size=24, num_layers=2, drop_prob_lm=0.5, fc_feat_size=10,
         att_feat_size=12, att_hid_size=8, seq_length=7, max_length=7,
         rnn_type='lstm', logit_layers=1, use_bn=0, vocab=VOCAB,
-        seq_per_img=1, compute_dtype='float32')
+        seq_per_img=1, compute_dtype='float32', **extra)
     torch.manual_seed(0)
     ref = ref_models.setup(opt)
     ref.eval()

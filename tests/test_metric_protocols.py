@@ -20,6 +20,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier (subprocesses): see pytest.ini
+
 # --- METEOR -----------------------------------------------------------------
 # A strict emulation of meteor-1.5.jar in -stdio mode.  Replies use the
 # real shapes: 23 space-delimited floats per stats line (the en parameter

@@ -26,6 +26,7 @@ def _mini_captioner(seed=0):
     return cap, variables
 
 
+@pytest.mark.slow  # heavy compile: see pytest.ini
 def test_ensemble_of_identical_models_matches_single():
     from captioning_tpu.models.ensemble import EnsembleCaptioner
     cap, variables = _mini_captioner()
@@ -41,6 +42,7 @@ def test_ensemble_of_identical_models_matches_single():
     assert (np.asarray(s1) == np.asarray(s2)).all()
 
 
+@pytest.mark.slow  # heavy compile: see pytest.ini
 def test_ensemble_averages_probabilities():
     from captioning_tpu.models.ensemble import EnsembleCaptioner
     cap, v1 = _mini_captioner(0)
@@ -102,6 +104,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert isinstance(back['extra'], list)
 
 
+@pytest.mark.slow  # heavy compile: see pytest.ini
 def test_gumbel_and_nucleus_sampling_valid():
     dm, table, W = make_mock_model(seed=4)
     fc = np.random.RandomState(0).randn(4, 4).astype('float32')
@@ -209,6 +212,7 @@ def test_mixed_ensemble_ancestry_beam_equals_physical():
     assert np.allclose(np.asarray(d1['p']), np.asarray(d2['p']), atol=1e-5)
 
 
+@pytest.mark.slow  # heavy compile: see pytest.ini
 def test_profiling_helpers(tmp_path):
     """trace/annotate/StepTimer run end-to-end and emit a trace dir."""
     from captioning_tpu.utils import profiling

@@ -18,6 +18,8 @@ from captioning_tpu.parallel.mesh import (gather_predictions,
                                           local_batch_slice,
                                           object_allgather)
 
+pytestmark = pytest.mark.slow  # heavy tier: see pytest.ini
+
 
 class LockstepAllgather:
     """Barrier-synchronized allgather over n simulated processes."""

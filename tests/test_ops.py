@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: see pytest.ini
+
 
 def test_fused_additive_attention_matches_ref():
     from captioning_tpu.ops.attention import (additive_attention_fused,

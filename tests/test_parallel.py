@@ -9,6 +9,8 @@ import pytest
 from captioning_tpu.parallel.mesh import (make_mesh, shard_batch,
                                           shard_variables)
 
+pytestmark = pytest.mark.slow  # heavy tier: see pytest.ini
+
 
 @pytest.fixture(scope='module')
 def small_transformer():

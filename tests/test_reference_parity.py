@@ -30,6 +30,8 @@ from captioning_tpu.models import setup as jx_setup
 from captioning_tpu.models.harness import config_from_opt
 from captioning_tpu.utils.torch_convert import convert_state_dict
 
+pytestmark = pytest.mark.slow  # heavy tier: see pytest.ini
+
 VOCAB = {str(i): 'w%d' % i for i in range(1, 21)}
 VOCAB[str(20)] = 'UNK'
 

@@ -8,6 +8,8 @@ import pytest
 
 from tests.util_synth import build_synthetic_dataset, make_opt
 
+pytestmark = pytest.mark.slow  # heavy tier: see pytest.ini
+
 
 @pytest.fixture(scope='module')
 def ds(tmp_path_factory):
@@ -69,7 +71,10 @@ def test_struc_train_nsc(ds, tmp_path, monkeypatch):
                    save_checkpoint_every=100, language_eval=0,
                    val_images_use=4, id='nsc', structure_after=0,
                    structure_loss_type='new_self_critical',
-                   structure_loss_weight=1.0, losses_log_every=1)
+                   structure_loss_weight=1.0, losses_log_every=1,
+                   # pin the host-reward path: SCST/PPO/mix e2e tests cover
+                   # the fused default (--on_device_cider auto)
+                   on_device_cider=0)
     opt.start_from = ckpt
     train(opt)
 

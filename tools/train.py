@@ -331,7 +331,10 @@ def train(opt):
             rng, step_rng = jax.random.split(rng)
 
             out = {}
-            if struc_flag and getattr(opt, 'on_device_cider', 0) and \
+            # --on_device_cider: -1 auto / 1 on / 0 off. Auto (the
+            # production default) takes the fused path whenever eligible:
+            # pure-CIDEr reward, no drop-worst, no self-cider.
+            if struc_flag and getattr(opt, 'on_device_cider', -1) != 0 and \
                     opt.cider_reward_weight > 0 and \
                     opt.bleu_reward_weight == 0 and \
                     getattr(opt, 'self_cider_reward_weight', 0) == 0 and \
@@ -379,7 +382,7 @@ def train(opt):
                     variables, opt_state, fc, att, labels, masks, am,
                     opt.current_lr, ss_prob, step_rng,
                     drop_worst_flag=drop_worst_flag)
-            elif getattr(opt, 'on_device_cider', 0) and \
+            elif getattr(opt, 'on_device_cider', -1) != 0 and \
                     opt.cider_reward_weight > 0 and \
                     opt.bleu_reward_weight == 0 and not drop_worst_flag:
                 # fully fused SCST: no host sync inside the iteration
