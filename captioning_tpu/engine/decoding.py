@@ -341,7 +341,8 @@ def sample_next_word_dynamic(rng, logprobs, method_id, temperature,
 # ---------------------------------------------------------------------------
 
 def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
-           opt: Dict[str, Any], dynamic_params: Optional[Dict] = None):
+           opt: Dict[str, Any], dynamic_params: Optional[Dict] = None,
+           return_stats: bool = False):
     """reference AttModel._sample (:258-352).
 
     Returns (seq [B*n, L] int32, seqLogprobs [B*n, L, V+1] f32).
@@ -351,6 +352,13 @@ def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     is then shared across all sample-family methods (see
     sample_next_word_dynamic); opt's sample_method/temperature are ignored
     and beam/diverse routing is the caller's responsibility.
+
+    ``return_stats``: instead of the full [B*n, L, V+1] distribution
+    table (at production shapes ~777 MB that eval_split reduces to two
+    scalars per row), return (seq, {'ent_sum', 'lp_sum'}) with the
+    entropy / chosen-logprob sums accumulated inside the scan — the same
+    gating as the stored tables (rows zeroed after finish), so the
+    host-side reductions match exactly.
     """
     sample_method = opt.get('sample_method', 'greedy')
     beam_size = int(opt.get('beam_size', 1))
@@ -384,7 +392,7 @@ def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     step_rngs = jax.random.split(rng, L * 2).reshape(L, 2, -1)
 
     def body(carry, xs):
-        it_prev, state, unfinished, seq_buf, t = carry
+        it_prev, state, unfinished, seq_buf, ent_sum, lp_sum, t = carry
         rngs = xs
         logprobs, state = dm.step(it_prev, feats, state, rngs[0],
                                   bool(output_logsoftmax), uniform_t=True)
@@ -404,17 +412,37 @@ def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
         # finished bookkeeping (reference :340-347)
         first = (t == 0)
         it = jnp.where(first | unfinished, it, dm.pad_idx)
-        logprobs_out = jnp.where(first | unfinished[:, None], logprobs, 0.0)
+        keep = first | unfinished
         unfinished = jnp.where(first, it != dm.eos_idx,
                                unfinished & (it != dm.eos_idx))
         seq_buf = seq_buf.at[:, t].set(it)
-        return (it, state, unfinished, seq_buf, t + 1), (it, logprobs_out)
+        if return_stats:
+            # the two reductions eval_split takes from the stored tables
+            # (reference eval_utils.py:173-174), with the same row gating
+            # as logprobs_out (zeroed after finish)
+            ent_sum = ent_sum + jnp.where(
+                keep, -(jnp.exp(logprobs) * logprobs).sum(-1), 0.0)
+            lp_sum = lp_sum + jnp.where(
+                keep,
+                jnp.take_along_axis(logprobs, it[:, None], axis=1)[:, 0],
+                0.0)
+            out = it
+        else:
+            logprobs_out = jnp.where(keep[:, None], logprobs, 0.0)
+            out = (it, logprobs_out)
+        return (it, state, unfinished, seq_buf, ent_sum, lp_sum,
+                t + 1), out
 
     it0 = jnp.full((N,), dm.bos_idx, jnp.int32)
     unfin0 = jnp.ones((N,), bool)
     seq_buf0 = jnp.zeros((N, L), jnp.int32)
-    (_, _, _, seq_buf, _), (seq_steps, lp_steps) = jax.lax.scan(
-        body, (it0, state0, unfin0, seq_buf0, jnp.int32(0)), step_rngs)
+    zeros_n = jnp.zeros((N,), jnp.float32)
+    carry0 = (it0, state0, unfin0, seq_buf0, zeros_n, zeros_n, jnp.int32(0))
+    carry, outs = jax.lax.scan(body, carry0, step_rngs)
+    if return_stats:
+        seq = jnp.swapaxes(outs, 0, 1)
+        return seq, {'ent_sum': carry[4], 'lp_sum': carry[5]}
+    seq_steps, lp_steps = outs
     seq = jnp.swapaxes(seq_steps, 0, 1)
     seqLogprobs = jnp.swapaxes(lp_steps, 0, 1)
     return seq, seqLogprobs
@@ -467,6 +495,177 @@ def scan_logprobs(dm: DecodeModel, fc_feats, att_feats, att_masks, gen_seq,
 # beam search (batched, diverse groups, fixed shapes)
 # ---------------------------------------------------------------------------
 
+def _select_rows(tbl, ix):
+    """``take_along_axis(tbl, ix[..., None], axis=1)`` for [B, R, L] tables
+    via a masked sum.  XLA's gather materializes these through slow strided
+    copies inside the beam scan (profiled at ~1.26 ms for a [1024,10,20]
+    int table); the R-way select-and-sum runs as one VPU fusion.  Exact
+    for ints and for floats (exactly one mask lane is hot per output)."""
+    R = tbl.shape[1]
+    oh = ix[:, :, None] == jnp.arange(R, dtype=ix.dtype)[None, None, :]
+    zero = jnp.zeros((), tbl.dtype)
+    return jnp.where(oh[..., None], tbl[:, None], zero).sum(2)
+
+
+def _beam_search_fast(dm: DecodeModel, init_logprobs, init_state,
+                      feats_per_beam, rng, opt: Dict[str, Any],
+                      dynamic_params: Optional[Dict]):
+    """Single-group beam search with the table work fused at WRITE time.
+
+    The general body carries the raw log-prob table and, each iteration,
+    re-reads it for constraints, the unaug/entropy reductions, and the
+    candidate add — profiled on the v5e at ~2.7 ms/step of pure layout
+    copies plus ~1.0 ms of extra reduction passes over the [B*bdash, V+1]
+    table.  Here the body carries the CANDIDATES table instead
+    (log_softmax + beam-sum add fused into the model step's output pass)
+    together with per-row ``row_sum``/``ent_row`` stats computed in that
+    same pass, so the big table is materialized exactly once per step and
+    feeds straight into top_k.
+
+    Semantics are identical to the general body for G == 1 without the
+    scatter constraints (decoding_constraint / remove_bad_endings route to
+    the general body; UNK suppression IS supported here — it folds into
+    the same elementwise pass).  Output dict matches beam_search.
+    """
+    temperature, length_penalty, apply_unk, unk_scale = _beam_dynamic_setup(
+        dm, opt, dynamic_params)
+    beam_size = int(opt.get('beam_size', 10))
+    bdash = beam_size
+    B = init_logprobs.shape[0]
+    L = dm.seq_length
+    V1 = dm.vocab_plus
+    NBG = B * bdash
+    use_anc = dm.beam_init is not None and dm.beam_reorder is not None
+
+    state = repeat_tree(bdash, init_state)
+    if use_anc:
+        state = dm.beam_init(state, bdash)
+
+    def _unk_adjust(lp):
+        if not apply_unk:
+            return lp
+        col = jnp.arange(V1) == dm.unk_idx
+        return lp + jnp.where(col, -1000.0 * unk_scale, 0.0)
+
+    def _finish_table(raw_lp, sums):
+        """One fused pass over the fresh [NBG, V1] table: temperature
+        log-softmax, UNK suppression, the two carried-stat reductions, and
+        the candidate add for the NEXT selection.  The big table stays 2-D
+        end to end — every [B, bdash, V1] regrouping is a row-major bitcast
+        — so XLA needs at most one layout conversion between the matmul
+        output and the top-k sort (profiled: the 3-D carry forced three
+        full extra passes over the 194 MB table per step)."""
+        lsm = _unk_adjust(raw_lp)                            # [NBG, V1]
+        row_sum = lsm.sum(-1)                                # [NBG]
+        ent_row = -(jnp.exp(lsm) * lsm).sum(-1)              # [NBG]
+        cand = lsm + sums.reshape(NBG)[:, None]
+        # NOTE: carrying the table in the top-k input shape [B, bdash*V1]
+        # was measured SLOWER (2362 vs 2625 cap/s): V1 is not a multiple of
+        # the 128-lane tile, and fusing the padded-tile remap into this
+        # write pass costs more than the loop's standalone copies
+        return cand, row_sum.reshape(B, bdash), ent_row.reshape(B, bdash)
+
+    # t = 0: every lane holds the bos distribution; lanes > 0 masked off
+    lsm0 = _unk_adjust(init_logprobs)                       # [B, V1]
+    first_mask = jnp.where(jnp.arange(bdash) > 0, NEG, 0.0)  # [bdash]
+    cand = (lsm0[:, None, :] + first_mask[None, :, None]).reshape(NBG, V1)
+    row_sum = jnp.broadcast_to(lsm0.sum(-1)[:, None], (B, bdash))
+    ent_row = jnp.broadcast_to(
+        -(jnp.exp(lsm0) * lsm0).sum(-1)[:, None], (B, bdash))
+
+    beam_seq = jnp.zeros((B, bdash, L), jnp.int32)
+    beam_unaug_cum = jnp.zeros((B, bdash), jnp.float32)
+    beam_logprobs_sum = jnp.zeros((B, bdash), jnp.float32)
+    beam_ent_cum = jnp.zeros((B, bdash), jnp.float32)
+    beam_lp_cum = jnp.zeros((B, bdash), jnp.float32)
+    pool_seq = jnp.zeros((B, bdash, L), jnp.int32)
+    pool_p = jnp.full((B, bdash), NEG, jnp.float32)
+    pool_unaug = jnp.full((B, bdash), NEG, jnp.float32)
+    pool_ent = jnp.zeros((B, bdash), jnp.float32)
+    pool_lpc = jnp.zeros((B, bdash), jnp.float32)
+
+    step_rngs = jax.random.split(rng, L)
+
+    def body(carry, xs):
+        (state, cand, row_sum, ent_row, beam_seq, beam_unaug_cum,
+         beam_logprobs_sum, beam_ent_cum, beam_lp_cum,
+         pool_seq, pool_p, pool_unaug, pool_ent, pool_lpc, t) = carry
+        step_rng = xs
+
+        # ---- selection straight off the carried candidates ----
+        # [NBG, V1] -> [B, bdash*V1] (padded-tile remap; padding V1 to the
+        # 128-lane tile to make this a bitcast was measured SLOWER, 2560
+        # vs 2625 cap/s — the concat pass costs more than the remap saves)
+        ys, ix = jax.lax.top_k(cand.reshape(B, bdash * V1), bdash)
+        beam_ix = ix // V1
+        sel_ix = ix % V1
+
+        time_onehot = jax.nn.one_hot(t, L, dtype=bool)      # [L]
+        new_seq = jnp.where(time_onehot[None, None, :], sel_ix[..., None],
+                            _select_rows(beam_seq, beam_ix))
+        new_ucum = (jnp.take_along_axis(beam_unaug_cum, beam_ix, axis=1) +
+                    jnp.take_along_axis(row_sum, beam_ix, axis=1))
+        new_ent = (jnp.take_along_axis(beam_ent_cum, beam_ix, axis=1) +
+                   jnp.take_along_axis(ent_row, beam_ix, axis=1))
+        # chosen-token logprob: the top-k value minus the parent's sum (the
+        # candidate was built as sum + lp in f32, so this recovers lp up to
+        # one rounding — carried-stat tests bound it at 1e-4)
+        chosen_lp = ys - jnp.take_along_axis(beam_logprobs_sum, beam_ix,
+                                             axis=1)
+        new_lpc = (jnp.take_along_axis(beam_lp_cum, beam_ix, axis=1) +
+                   chosen_lp)
+        new_sums = ys
+
+        # ---- finished-beam pool merge (CaptionModel.py:182-198) ----
+        just_ended = (sel_ix == dm.eos_idx) | (t == L - 1)
+        cand_p = length_penalty((t + 1).astype(jnp.float32), new_sums)
+        cand_p = jnp.where(just_ended, cand_p, NEG)
+        merged_p = jnp.concatenate([pool_p, cand_p], axis=1)
+        merged_unaug = jnp.concatenate([pool_unaug, new_ucum], axis=1)
+        merged_seq = jnp.concatenate([pool_seq, new_seq], axis=1)
+        merged_ent = jnp.concatenate([pool_ent, new_ent], axis=1)
+        merged_lpc = jnp.concatenate([pool_lpc, new_lpc], axis=1)
+        top_p, top_i = jax.lax.top_k(merged_p, bdash)
+        pool_p = top_p
+        pool_unaug = jnp.take_along_axis(merged_unaug, top_i, axis=1)
+        pool_seq = _select_rows(merged_seq, top_i)
+        pool_ent = jnp.take_along_axis(merged_ent, top_i, axis=1)
+        pool_lpc = jnp.take_along_axis(merged_lpc, top_i, axis=1)
+        new_sums = new_sums - 1000.0 * just_ended
+
+        # ---- model step + fused table finish ----
+        base = jnp.arange(B)[:, None] * bdash
+        state_ix = (base + beam_ix).reshape(-1)
+        it = sel_ix.reshape(NBG).astype(jnp.int32)
+        if use_anc:
+            new_state = dm.beam_reorder(state, state_ix)
+            step_lp, state = dm.step(
+                it, feats_per_beam, new_state, step_rng, False,
+                uniform_t=True, beam_width=bdash)
+        else:
+            new_state = reorder_state(state, state_ix)
+            step_lp, state = dm.step(
+                it, feats_per_beam, new_state, step_rng, False,
+                uniform_t=True)
+        step_lp = jax.nn.log_softmax(step_lp / temperature, axis=-1)
+        cand, row_sum, ent_row = _finish_table(step_lp, new_sums)
+
+        return (state, cand, row_sum, ent_row, new_seq, new_ucum, new_sums,
+                new_ent, new_lpc, pool_seq, pool_p, pool_unaug, pool_ent,
+                pool_lpc, t + 1), None
+
+    carry0 = (state, cand, row_sum, ent_row, beam_seq, beam_unaug_cum,
+              beam_logprobs_sum, beam_ent_cum, beam_lp_cum,
+              pool_seq, pool_p, pool_unaug, pool_ent, pool_lpc,
+              jnp.int32(0))
+    carry, _ = jax.lax.scan(body, carry0, step_rngs)
+    (pool_seq, pool_p, pool_unaug, pool_ent, pool_lpc) = carry[9:14]
+    # same [B, G, bdash, ...] output contract as the general body (G = 1)
+    return {'seq': pool_seq[:, None], 'p': pool_p[:, None],
+            'unaug_p': pool_unaug[:, None], 'ent_sum': pool_ent[:, None],
+            'lp_sum': pool_lpc[:, None]}
+
+
 def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
                 rng, opt: Dict[str, Any],
                 dynamic_params: Optional[Dict] = None):
@@ -489,6 +688,13 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
     diversity_lambda = float(opt.get('diversity_lambda', 0.5))
     decoding_constraint = int(opt.get('decoding_constraint', 0))
     remove_bad_endings = int(opt.get('remove_bad_endings', 0))
+    if (group_size == 1 and not decoding_constraint and
+            not remove_bad_endings and not int(opt.get('_beam_general', 0))):
+        # production fast path: candidates carried, table work fused at
+        # write time (see _beam_search_fast; `_beam_general: 1` forces the
+        # general body for equivalence testing)
+        return _beam_search_fast(dm, init_logprobs, init_state,
+                                 feats_per_beam, rng, opt, dynamic_params)
     bdash = beam_size // group_size
     G = group_size
     B = init_logprobs.shape[0]
@@ -592,14 +798,10 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
             beam_ix = ix // V1                      # [B, bdash]
             sel_ix = ix % V1
 
-            def gb(x):  # gather beams along dim 1 by beam_ix
-                bi = beam_ix.reshape(beam_ix.shape + (1,) * (x.ndim - 2))
-                return jnp.take_along_axis(x, jnp.broadcast_to(
-                    bi, beam_ix.shape + x.shape[2:]), axis=1)
-
             time_onehot = jax.nn.one_hot(lt, L, dtype=bool)  # [L]
             new_seq = jnp.where(time_onehot[None, None, :],
-                                sel_ix[..., None], gb(cur_seq[g]))
+                                sel_ix[..., None],
+                                _select_rows(cur_seq[g], beam_ix))
             # running sum of the stored distributions' totals ('unaug_p',
             # CaptionModel.py:193) without carrying the distributions
             unaug_row_sum = unaug_lp.sum(-1)                  # [B, bdash]
@@ -631,8 +833,7 @@ def beam_search(dm: DecodeModel, init_logprobs, init_state, feats_per_beam,
             top_p, top_i = jax.lax.top_k(merged_p, bdash)
             new_pp = top_p
             new_pu = jnp.take_along_axis(merged_unaug, top_i, axis=1)
-            new_pseq = jnp.take_along_axis(
-                merged_seq, top_i[..., None].repeat(L, 2), axis=1)
+            new_pseq = _select_rows(merged_seq, top_i)
             new_pent = jnp.take_along_axis(merged_ent, top_i, axis=1)
             new_plpc = jnp.take_along_axis(merged_lpc, top_i, axis=1)
 

@@ -314,6 +314,43 @@ class Captioner:
                'lp_alpha': jnp.float32(alpha)}
         return pen_type, dyn
 
+    def sample_stats_jit(self, variables, fc_feats, att_feats, att_masks,
+                         rng, opt: Dict[str, Any]):
+        """Eval-path sample(): returns (seq, {'ent_sum', 'lp_sum'}) with
+        the entropy/perplexity sums carried through the scan instead of
+        materializing (and shipping to the host) the full [N, L, V+1]
+        distribution table — ~777 MB per batch at production shapes.
+        Sampling params ride as traced operands like sample_dynamic_jit.
+
+        Returns None when the method is outside the sample family (beam /
+        diverse routing) — the caller falls back to the table-returning
+        paths.
+        """
+        from ..engine import decoding
+        sample_method = opt.get('sample_method', 'greedy')
+        beam_size = int(opt.get('beam_size', 1) or 1)
+        group_size = int(opt.get('group_size', 1) or 1)
+        dyn = self._dynamic_sample_params(
+            sample_method, float(opt.get('temperature', 1.0) or 1.0))
+        if dyn is None or group_size > 1 or (
+                beam_size > 1 and sample_method in ('greedy', 'beam_search')):
+            return None
+        opt_s = {k: v for k, v in opt.items()
+                 if k not in ('sample_method', 'temperature')}
+        key = ('sample_stats', self._freeze_opt(opt_s))
+        if key not in self._jit_cache:
+            opt_c = dict(opt_s, sample_method='sample')
+
+            def fn(variables, fc, att, am, rng, dyn):
+                dm = self.bind(variables, False)
+                return decoding.sample(dm, fc, att, am, rng, opt_c,
+                                       dynamic_params=dyn,
+                                       return_stats=True)
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](variables, fc_feats, att_feats,
+                                    att_masks, rng, dyn)
+
     def sample_beam_jit(self, variables, fc_feats, att_feats, att_masks, rng,
                         opt: Dict[str, Any], train: bool = False,
                         want_logps: bool = True):

@@ -66,10 +66,13 @@ def rouge_l(hyp: str, refs: List[str], beta: float = 1.2) -> float:
 
 
 def meteor_like(hyp: str, refs: List[str]) -> float:
-    """Native METEOR approximation: exact + Porter-stem alignment stages
-    with METEOR 1.5 en parameters (alpha=0.85, beta=0.2, gamma=0.6; stem
-    matches weighted 0.6 like the jar's stem module), no synonym/paraphrase
-    tables. Reported as ``METEOR_approx``, never ``METEOR``."""
+    """Native METEOR approximation — NOT METEOR. Exact + Porter-stem
+    greedy first-fit alignment stages reusing METEOR 1.5's en constants
+    (alpha=0.85, beta=0.2, gamma=0.6, stem weight 0.6), but with no
+    synonym/paraphrase tables and a first-fit chunk count rather than the
+    jar's beam alignment minimizing chunks — scores are close but not
+    comparable to published METEOR numbers.  Reported as
+    ``METEOR_approx``, never ``METEOR``."""
     from .stemmer import porter_stem
     alpha, beta, gamma, w_stem = 0.85, 0.2, 0.6, 0.6
     h = hyp.split()

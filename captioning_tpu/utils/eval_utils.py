@@ -255,6 +255,17 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
             denom = (seq > 0).sum(1) + 1
             entropy = np.asarray(stats['ent_sum'])[:real_rows] / denom
             perplexity = -np.asarray(stats['lp_sum'])[:real_rows] / denom
+        elif (stats_out := getattr(captioner, 'sample_stats_jit',
+                                   lambda *a: None)(
+                variables, fc_d, att_d, am_d, step_rng,
+                sample_opt)) is not None:
+            # sample-family fast path: ent/perplexity sums carried through
+            # the scan; the [N, L, V+1] table never materializes
+            seq, stats = stats_out
+            seq = np.asarray(seq)[:real_rows]
+            denom = (seq > 0).sum(1) + 1
+            entropy = np.asarray(stats['ent_sum'])[:real_rows] / denom
+            perplexity = -np.asarray(stats['lp_sum'])[:real_rows] / denom
         else:
             seq, seq_logprobs = captioner.sample_jit(
                 variables, fc_d, att_d, am_d, step_rng, sample_opt)

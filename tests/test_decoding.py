@@ -400,6 +400,49 @@ def test_dynamic_sampler_one_program_across_methods():
 
 
 @pytest.mark.slow  # compiles real model programs
+def test_sample_stats_matches_table_reductions():
+    """sample(return_stats=True) carries the exact reductions eval_split
+    takes from the full distribution table (same finish-row gating)."""
+    dm, table, W = make_mock_model()
+    B = 4
+    fc = jnp.asarray(np.random.RandomState(13).randn(B, 4).astype('float32'))
+    opt = {'sample_method': 'greedy', 'sample_n': 2}
+    seq, lp = decoding.sample(dm, fc, None, None, jax.random.PRNGKey(5), opt)
+    seq2, stats = decoding.sample(dm, fc, None, None, jax.random.PRNGKey(5),
+                                  opt, return_stats=True)
+    seq, lp = np.asarray(seq), np.asarray(lp)
+    assert (seq == np.asarray(seq2)).all()
+    ent_tab = -(np.exp(lp) * lp).sum(-1).sum(1)
+    lp_tab = np.take_along_axis(lp, seq[..., None], axis=2)[..., 0].sum(1)
+    assert np.allclose(np.asarray(stats['ent_sum']), ent_tab,
+                       rtol=1e-4, atol=1e-4)
+    assert np.allclose(np.asarray(stats['lp_sum']), lp_tab,
+                       rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('suppress,lp', [(0, ''), (1, 'wu_0.9')])
+def test_fast_beam_path_equals_general(suppress, lp):
+    """The G==1 write-time-fused beam body must match the general body
+    token-for-token and score-for-score (stats to fp tolerance)."""
+    dm, table, W = make_mock_model()
+    B = 3
+    fc = jnp.asarray(np.random.RandomState(11).randn(B, 4).astype('float32'))
+    base = {'beam_size': 4, 'group_size': 1, 'sample_n': 1,
+            'suppress_UNK': suppress, 'length_penalty': lp,
+            'temperature': 0.9}
+    sf, lf, df = decoding.sample_beam(dm, fc, None, None,
+                                     jax.random.PRNGKey(2), dict(base))
+    sg, lg, dg = decoding.sample_beam(dm, fc, None, None,
+                                     jax.random.PRNGKey(2),
+                                     dict(base, _beam_general=1))
+    assert (np.asarray(sf) == np.asarray(sg)).all()
+    assert (np.asarray(df['seq']) == np.asarray(dg['seq'])).all()
+    for k in ('p', 'unaug_p', 'ent_sum', 'lp_sum'):
+        assert np.allclose(np.asarray(df[k]), np.asarray(dg[k]),
+                           rtol=1e-4, atol=1e-4), k
+    assert np.allclose(np.asarray(lf), np.asarray(lg), rtol=1e-5, atol=1e-5)
+
+
 def test_dynamic_beam_one_program_across_params():
     """temperature / suppress_UNK / length-penalty alpha are traced beam
     operands: an eval sweep over them reuses ONE compiled program per

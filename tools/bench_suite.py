@@ -132,14 +132,17 @@ def main():
         print('%s beam5  B=%d: %.3fs -> %.1f captions/s' % (name, B, dt,
                                                             B / dt))
 
-        s, _ = cap.sample_jit(variables, fc, att, am, jax.random.PRNGKey(1),
-                              {'sample_method': 'greedy'})
+        # production eval path: carried ent/perplexity stats, the full
+        # [N, L, V+1] table never materializes (sample_stats_jit)
+        s, _ = cap.sample_stats_jit(variables, fc, att, am,
+                                    jax.random.PRNGKey(1),
+                                    {'sample_method': 'greedy'})
         np.asarray(s)
         t0 = time.time()
         for i in range(iters):
-            s, _ = cap.sample_jit(variables, fc, att, am,
-                                  jax.random.PRNGKey(i),
-                                  {'sample_method': 'greedy'})
+            s, _ = cap.sample_stats_jit(variables, fc, att, am,
+                                        jax.random.PRNGKey(i),
+                                        {'sample_method': 'greedy'})
             np.asarray(s)
         dt = (time.time() - t0) / iters
         print('%s greedy B=%d: %.3fs -> %.1f captions/s' % (name, B, dt,
