@@ -438,10 +438,21 @@ def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     seq_buf0 = jnp.zeros((N, L), jnp.int32)
     zeros_n = jnp.zeros((N,), jnp.float32)
     carry0 = (it0, state0, unfin0, seq_buf0, zeros_n, zeros_n, jnp.int32(0))
-    carry, outs = jax.lax.scan(body, carry0, step_rngs)
     if return_stats:
-        seq = jnp.swapaxes(outs, 0, 1)
-        return seq, {'ent_sum': carry[4], 'lp_sum': carry[5]}
+        # EXACT early exit (reference AttModel.py:158 breaks when all rows
+        # end): once every row has finished, remaining steps only write
+        # pads and gated-off stats — skip them.  The stats path emits no
+        # per-step outputs (seq lives in the carried buffer), so the scan
+        # converts to a while_loop directly.
+        def cond(carry):
+            return (carry[-1] < L) & ((carry[-1] == 0) | carry[2].any())
+
+        def body_w(carry):
+            return body(carry, step_rngs[carry[-1]])[0]
+
+        carry = jax.lax.while_loop(cond, body_w, carry0)
+        return carry[3], {'ent_sum': carry[4], 'lp_sum': carry[5]}
+    carry, outs = jax.lax.scan(body, carry0, step_rngs)
     seq_steps, lp_steps = outs
     seq = jnp.swapaxes(seq_steps, 0, 1)
     seqLogprobs = jnp.swapaxes(lp_steps, 0, 1)
@@ -586,11 +597,11 @@ def _beam_search_fast(dm: DecodeModel, init_logprobs, init_state,
 
     step_rngs = jax.random.split(rng, L)
 
-    def body(carry, xs):
+    def body(carry):
         (state, cand, row_sum, ent_row, beam_seq, beam_unaug_cum,
          beam_logprobs_sum, beam_ent_cum, beam_lp_cum,
          pool_seq, pool_p, pool_unaug, pool_ent, pool_lpc, t) = carry
-        step_rng = xs
+        step_rng = step_rngs[t]
 
         # ---- selection straight off the carried candidates ----
         # [NBG, V1] -> [B, bdash*V1] (padded-tile remap; padding V1 to the
@@ -652,13 +663,37 @@ def _beam_search_fast(dm: DecodeModel, init_logprobs, init_state,
 
         return (state, cand, row_sum, ent_row, new_seq, new_ucum, new_sums,
                 new_ent, new_lpc, pool_seq, pool_p, pool_unaug, pool_ent,
-                pool_lpc, t + 1), None
+                pool_lpc, t + 1)
+
+    def cond(carry):
+        """EXACT early exit: stop once no image's pool can still change.
+
+        Every future candidate's raw sum is bounded by the current max
+        lane sum (log-probs are <= 0; finished lanes carry the -1000
+        hits), and its penalized score by that sum pushed through the
+        length penalty at the interval endpoints [t+2, L] (the penalty is
+        monotone in length for fixed negative sums, so the max over the
+        interval is at an endpoint).  When that bound cannot strictly
+        beat the image's worst pool entry, the pool is final — ties keep
+        the pool entry (it precedes the candidate in the merge top-k).
+        Real captions finish well before seq_length, so this turns the
+        fixed 20-step loop into ~len(longest caption)+1 steps.
+        """
+        t = carry[-1]
+        sums = carry[6]
+        pool_p_c = carry[10]
+        max_sums = sums.max(1)                                 # [B]
+        worst_pool = pool_p_c.min(1)                           # [B]
+        bound = jnp.maximum(
+            length_penalty(jnp.float32(L), max_sums),
+            length_penalty((t + 2).astype(jnp.float32), max_sums))
+        return (t < L) & jnp.any(bound > worst_pool)
 
     carry0 = (state, cand, row_sum, ent_row, beam_seq, beam_unaug_cum,
               beam_logprobs_sum, beam_ent_cum, beam_lp_cum,
               pool_seq, pool_p, pool_unaug, pool_ent, pool_lpc,
               jnp.int32(0))
-    carry, _ = jax.lax.scan(body, carry0, step_rngs)
+    carry = jax.lax.while_loop(cond, body, carry0)
     (pool_seq, pool_p, pool_unaug, pool_ent, pool_lpc) = carry[9:14]
     # same [B, G, bdash, ...] output contract as the general body (G = 1)
     return {'seq': pool_seq[:, None], 'p': pool_p[:, None],

@@ -443,6 +443,58 @@ def test_fast_beam_path_equals_general(suppress, lp):
     assert np.allclose(np.asarray(lf), np.asarray(lg), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize('lp', ['', 'wu_0.9', 'avg_0.3'])
+def test_beam_early_exit_exact_on_finishing_captions(lp):
+    """The fast body's while_loop exit (stop once no pool can change) must
+    be bit-exact in the regime where it actually engages: every caption
+    ends by step ~3 of a 12-step budget, so the loop provably exits early
+    and the outputs must still equal the full-length general body."""
+    dm, table, W = make_mock_model(seq_length=12, seed=7)
+    # strongly prefer EOS after any non-BOS token: captions finish at 2-3
+    table = table.copy()
+    table[1:, 0] += 12.0
+
+    def step(it, feats, state, rng_, logsoftmax=True, uniform_t=False):
+        logits = jnp.asarray(table)[it] + feats['f'] @ jnp.asarray(W)
+        state = dict(state, t=state['t'] + 1, prev=it)
+        if logsoftmax:
+            return jax.nn.log_softmax(logits, -1), state
+        return logits, state
+
+    dm2 = dataclasses.replace(dm, step=step)
+    B = 4
+    fc = jnp.asarray(np.random.RandomState(3).randn(B, 4).astype('float32'))
+    base = {'beam_size': 4, 'group_size': 1, 'sample_n': 1,
+            'suppress_UNK': 0, 'length_penalty': lp, 'temperature': 1.0}
+    sf, lf, df = decoding.sample_beam(dm2, fc, None, None,
+                                      jax.random.PRNGKey(2), dict(base))
+    sg, lg, dg = decoding.sample_beam(dm2, fc, None, None,
+                                      jax.random.PRNGKey(2),
+                                      dict(base, _beam_general=1))
+    # captions must genuinely finish early for this test to mean anything
+    lens = (np.asarray(sf) > 0).sum(1)
+    assert lens.max() <= 4, lens
+    assert (np.asarray(sf) == np.asarray(sg)).all()
+    assert (np.asarray(df['seq']) == np.asarray(dg['seq'])).all()
+    for k in ('p', 'unaug_p', 'ent_sum', 'lp_sum'):
+        assert np.allclose(np.asarray(df[k]), np.asarray(dg[k]),
+                           rtol=1e-4, atol=1e-4), k
+
+    # the greedy stats path's all-rows-finished exit, same regime
+    o = {'sample_method': 'greedy'}
+    seq, lpv = decoding.sample(dm2, fc, None, None, jax.random.PRNGKey(5), o)
+    seq2, stats = decoding.sample(dm2, fc, None, None, jax.random.PRNGKey(5),
+                                  o, return_stats=True)
+    seq, lpv = np.asarray(seq), np.asarray(lpv)
+    assert (seq == np.asarray(seq2)).all()
+    ent_tab = -(np.exp(lpv) * lpv).sum(-1).sum(1)
+    lp_tab = np.take_along_axis(lpv, seq[..., None], axis=2)[..., 0].sum(1)
+    assert np.allclose(np.asarray(stats['ent_sum']), ent_tab,
+                       rtol=1e-4, atol=1e-4)
+    assert np.allclose(np.asarray(stats['lp_sum']), lp_tab,
+                       rtol=1e-5, atol=1e-5)
+
+
 def test_dynamic_beam_one_program_across_params():
     """temperature / suppress_UNK / length-penalty alpha are traced beam
     operands: an eval sweep over them reuses ONE compiled program per

@@ -92,7 +92,23 @@ def main():
     parser.add_argument('--df_ngrams', type=int, default=1_200_000,
                         help='synthetic df-table size (COCO words-df is'
                              ' ~1.2M ngrams)')
+    parser.add_argument('--rows', type=str,
+                        default='beam,greedy,xe,scst,fused',
+                        help='comma list of benchmark rows to run: '
+                             'beam,greedy,xe,scst,fused')
+    parser.add_argument('--eos_boost', type=float, default=0.0,
+                        help='add this to the eos logit bias so random-'
+                             'weight captions end at realistic lengths '
+                             '(COCO averages ~10 tokens) — demonstrates '
+                             'the exact decode early exit, which full-'
+                             'length random decodes never trigger')
     args = parser.parse_args()
+    rows = set(args.rows.split(','))
+    # same persistent compile cache as bench.py: the beam program is large
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   '..', '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
     B, iters = args.batch, args.iters
     rng = np.random.RandomState(0)
     vocab = {str(i): 'w%d' % i for i in range(1, V + 1)}
@@ -108,51 +124,64 @@ def main():
         opt = all_opts[name]()
         cap = setup(opt, vocab)
         variables = cap.init_params(jax.random.PRNGKey(0), att_len=36)
+        if args.eos_boost:
+            import jax.tree_util as jtu
+            def _boost(path, x):
+                keys = [getattr(p, 'key', None) for p in path]
+                if ('logit' in keys or 'generator' in keys) and \
+                        keys[-1] == 'bias':
+                    return x.at[0].add(args.eos_boost)
+                return x
+            variables = jtu.tree_map_with_path(_boost, variables)
         fc, att, am = data(B)
 
         # decode rows run under eval's production PRNG (threefry: decode
         # measured ~10% slower under rbg); training rows switch to rbg,
         # the train production default (opts --rng_impl)
         jax.config.update('jax_default_prng_impl', 'threefry2x32')
-        bo = {'beam_size': 5, 'sample_n': 1, 'group_size': 1,
-              'suppress_UNK': 1}
-        # want_logps=False is the production eval path (carried stats,
-        # no winner-logprob replay)
-        s, _, _ = cap.sample_beam_jit(variables, fc, att, am,
-                                      jax.random.PRNGKey(1), bo,
-                                      want_logps=False)
-        np.asarray(s)
-        t0 = time.time()
-        for i in range(iters):
+        if 'beam' in rows:
+            bo = {'beam_size': 5, 'sample_n': 1, 'group_size': 1,
+                  'suppress_UNK': 1}
+            # want_logps=False is the production eval path (carried stats,
+            # no winner-logprob replay)
             s, _, _ = cap.sample_beam_jit(variables, fc, att, am,
-                                          jax.random.PRNGKey(i), bo,
+                                          jax.random.PRNGKey(1), bo,
                                           want_logps=False)
             np.asarray(s)
-        dt = (time.time() - t0) / iters
-        print('%s beam5  B=%d: %.3fs -> %.1f captions/s' % (name, B, dt,
-                                                            B / dt))
+            t0 = time.time()
+            for i in range(iters):
+                s, _, _ = cap.sample_beam_jit(variables, fc, att, am,
+                                              jax.random.PRNGKey(i), bo,
+                                              want_logps=False)
+                np.asarray(s)
+            dt = (time.time() - t0) / iters
+            print('%s beam5  B=%d: %.3fs -> %.1f captions/s (mean len %.1f)'
+                  % (name, B, dt, B / dt,
+                     float((np.asarray(s) > 0).sum(1).mean())))
 
-        # production eval path: carried ent/perplexity stats, the full
-        # [N, L, V+1] table never materializes (sample_stats_jit)
-        s, _ = cap.sample_stats_jit(variables, fc, att, am,
-                                    jax.random.PRNGKey(1),
-                                    {'sample_method': 'greedy'})
-        np.asarray(s)
-        t0 = time.time()
-        for i in range(iters):
+        if 'greedy' in rows:
+            # production eval path: carried ent/perplexity stats, the full
+            # [N, L, V+1] table never materializes (sample_stats_jit)
             s, _ = cap.sample_stats_jit(variables, fc, att, am,
-                                        jax.random.PRNGKey(i),
+                                        jax.random.PRNGKey(1),
                                         {'sample_method': 'greedy'})
             np.asarray(s)
-        dt = (time.time() - t0) / iters
-        print('%s greedy B=%d: %.3fs -> %.1f captions/s' % (name, B, dt,
-                                                            B / dt))
+            t0 = time.time()
+            for i in range(iters):
+                s, _ = cap.sample_stats_jit(variables, fc, att, am,
+                                            jax.random.PRNGKey(i),
+                                            {'sample_method': 'greedy'})
+                np.asarray(s)
+            dt = (time.time() - t0) / iters
+            print('%s greedy B=%d: %.3fs -> %.1f captions/s (mean len %.1f)'
+                  % (name, B, dt, B / dt,
+                     float((np.asarray(s) > 0).sum(1).mean())))
 
         # XE training step (rbg: the train production default)
         jax.config.update('jax_default_prng_impl', 'rbg')
         trainer = Trainer(cap, opt)
         opt_state = trainer.init_opt_state(variables)
-        for xb in (10, 128):
+        for xb in (10, 128) if 'xe' in rows else ():
             fcx, attx, amx = data(xb)
             labels = jnp.asarray(rng.randint(0, V, (xb, 5, 18)), jnp.int32)
             masks = jnp.ones((xb, 5, 18), jnp.float32)
@@ -177,6 +206,8 @@ def main():
             variables, opt_state = v, os_
 
         # SCST iteration (decode + reward + grad)
+        if not rows & {'scst', 'fused'}:
+            continue
         try:
             from captioning_tpu.utils.cider_native import (
                 NativeCiderD, native_self_critical_reward)
@@ -189,35 +220,38 @@ def main():
         gts = [rng.randint(1, V, (5, 16)) for _ in range(scb)]
         for g in gts:
             g[:, -1] = 0
-        greedy, gen = trainer.sc_decode(variables, fcs, atts, ams,
-                                        jax.random.PRNGKey(0),
-                                        jax.random.PRNGKey(1))
-        np.asarray(gen)
-        # warm up the grad step compile outside the timed loop
-        variables, opt_state, out = trainer.sc_grad_step(
-            variables, opt_state, fcs, atts, ams, gen,
-            jnp.zeros((gen.shape[0], gen.shape[1]), jnp.float32), 1e-5,
-            jax.random.PRNGKey(1))
-        float(out['loss'])
-        t0 = time.time()
-        for i in range(iters):
-            r1, r2 = jax.random.split(jax.random.PRNGKey(i))
-            greedy, gen = trainer.sc_decode(variables, fcs, atts, ams, r1, r2)
-            if nat is not None:
-                reward = native_self_critical_reward(
-                    nat, np.asarray(greedy), gts, np.asarray(gen))
-            else:
-                reward = np.zeros((gen.shape[0], gen.shape[1]), np.float32)
+        if 'scst' in rows:
+            greedy, gen = trainer.sc_decode(variables, fcs, atts, ams,
+                                            jax.random.PRNGKey(0),
+                                            jax.random.PRNGKey(1))
+            np.asarray(gen)
+            # warm up the grad step compile outside the timed loop
             variables, opt_state, out = trainer.sc_grad_step(
                 variables, opt_state, fcs, atts, ams, gen,
-                jnp.asarray(reward), 1e-5, r2)
+                jnp.zeros((gen.shape[0], gen.shape[1]), jnp.float32), 1e-5,
+                jax.random.PRNGKey(1))
             float(out['loss'])
-        dt = (time.time() - t0) / iters
-        print('%s SCST iter B=%dx%d samples: %.3fs -> %.2f iters/s' %
-              (name, scb, opt.train_sample_n, dt, 1 / dt))
+            t0 = time.time()
+            for i in range(iters):
+                r1, r2 = jax.random.split(jax.random.PRNGKey(i))
+                greedy, gen = trainer.sc_decode(variables, fcs, atts, ams,
+                                                r1, r2)
+                if nat is not None:
+                    reward = native_self_critical_reward(
+                        nat, np.asarray(greedy), gts, np.asarray(gen))
+                else:
+                    reward = np.zeros((gen.shape[0], gen.shape[1]),
+                                      np.float32)
+                variables, opt_state, out = trainer.sc_grad_step(
+                    variables, opt_state, fcs, atts, ams, gen,
+                    jnp.asarray(reward), 1e-5, r2)
+                float(out['loss'])
+            dt = (time.time() - t0) / iters
+            print('%s SCST iter B=%dx%d samples: %.3fs -> %.2f iters/s' %
+                  (name, scb, opt.train_sample_n, dt, 1 / dt))
 
         # fully-fused on-device SCST (decode + CIDEr-D + grad in one program)
-        if args.fused:
+        if args.fused and 'fused' in rows:
             from captioning_tpu.ops.cider_device import DeviceCiderD, pad_gts
             if not hasattr(main, '_dev_scorer'):
                 drng = np.random.RandomState(1)
