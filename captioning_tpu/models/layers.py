@@ -54,35 +54,6 @@ class Dense(nn.Module):
         return y
 
 
-class DenseP(nn.Module):
-    """``Dense`` with setup-time params (in_features known statically).
-
-    Exposes ``.kernel`` / ``.bias`` so sibling projections that share one
-    input can run as a single merged matmul (transformer.MHAProj.qkv):
-    the decode step is dominated by many small weight-bound ops, and the
-    weight concat is loop-invariant — XLA hoists it out of the decode
-    loop.  Param tree paths and init functions are identical to Dense, so
-    checkpoints and the torch importer are unaffected.
-    """
-    in_features: int
-    features: int
-    dtype: Dtype = jnp.float32
-    kernel_init: Optional[Callable] = None
-    bias_init: Optional[Callable] = None
-
-    def setup(self):
-        kinit = self.kernel_init or torch_linear_init
-        self.kernel = self.param('kernel', kinit,
-                                 (self.in_features, self.features))
-        binit = self.bias_init or _bias_init_for(self.in_features)
-        self.bias = self.param('bias', binit, (self.features,))
-
-    def __call__(self, x):
-        y = jnp.dot(x.astype(self.dtype), self.kernel.astype(self.dtype),
-                    preferred_element_type=self.dtype)
-        return y + self.bias.astype(self.dtype)
-
-
 class Embedding(nn.Module):
     """nn.Embedding equivalent (default N(0,1) init like torch)."""
     num_embeddings: int

@@ -29,7 +29,7 @@ import numpy as np
 from flax import linen as nn
 
 from .harness import ModelConfig
-from .layers import Dense, DenseP, MaskedBatchNorm, MLPEmbed
+from .layers import Dense, MaskedBatchNorm, MLPEmbed
 
 _NEG_INF = -1e9
 
@@ -57,39 +57,15 @@ class RefLayerNorm(nn.Module):
 
 
 class MHAProj(nn.Module):
-    """The 4 projection matrices of one MultiHeadedAttention block.
-
-    Param paths match the per-projection layout (wq/wk/wv/wo each with
-    kernel+bias) but the sibling projections sharing one input run as a
-    single merged matmul: the KV-cached decode step is dominated by many
-    small weight-bound ops, and the merged kernel concat is loop-invariant
-    (hoisted out of the decode loop by XLA), so qkv() turns three [N,D]x
-    [D,D] dispatches into one [N,D]x[D,3D].
-    """
+    """The 4 projection matrices of one MultiHeadedAttention block."""
     d_model: int
     dtype: Any = jnp.float32
 
     def setup(self):
-        def mk():
-            return DenseP(self.d_model, self.d_model, dtype=self.dtype,
-                          kernel_init=nn.initializers.xavier_uniform())
-        self.wq, self.wk, self.wv, self.wo = mk(), mk(), mk(), mk()
-
-    def _merged(self, y, projs):
-        kernel = jnp.concatenate([p.kernel for p in projs],
-                                 axis=1).astype(self.dtype)
-        bias = jnp.concatenate([p.bias for p in projs]).astype(self.dtype)
-        out = jnp.dot(y.astype(self.dtype), kernel,
-                      preferred_element_type=self.dtype) + bias
-        return jnp.split(out, len(projs), axis=-1)
-
-    def qkv(self, y):
-        """q/k/v of one input as ONE [D, 3D] matmul."""
-        return self._merged(y, (self.wq, self.wk, self.wv))
-
-    def kv(self, y):
-        """k/v of one input (cross-attention memory) as ONE [D, 2D] matmul."""
-        return self._merged(y, (self.wk, self.wv))
+        self.wq = _xavier_dense(self.d_model, self.dtype)
+        self.wk = _xavier_dense(self.d_model, self.dtype)
+        self.wv = _xavier_dense(self.d_model, self.dtype)
+        self.wo = _xavier_dense(self.d_model, self.dtype)
 
 
 def _split_heads(x, h):
@@ -295,7 +271,8 @@ class TransformerCaptioner(nn.Module):
         for i in range(cfg.N_enc):
             proj = self.enc_self[i]
             y = self.enc_norm1[i](x)
-            q, k, v = (_split_heads(u, h) for u in proj.qkv(y))
+            q, k, v = (_split_heads(proj.wq(y), h), _split_heads(proj.wk(y), h),
+                       _split_heads(proj.wv(y), h))
             y = proj.wo(_merge_heads(_attend(q, k, v, mask,
                                              self._attn_dropout(train))))
             x = x + self._dropout(y, cfg.dropout, train)
@@ -312,9 +289,9 @@ class TransformerCaptioner(nn.Module):
         # Precompute per-layer cross-attention K/V (cachedTransformer.py:201-242)
         mem_k, mem_v = [], []
         for i in range(cfg.N_dec):
-            mk_, mv_ = self.dec_src[i].kv(memory)
-            mem_k.append(_split_heads(mk_, h))
-            mem_v.append(_split_heads(mv_, h))
+            proj = self.dec_src[i]
+            mem_k.append(_split_heads(proj.wk(memory), h))
+            mem_v.append(_split_heads(proj.wv(memory), h))
         return {'memory': memory,
                 'mem_k': jnp.stack(mem_k, 1),   # [B, N_dec, h, M, dk]
                 'mem_v': jnp.stack(mem_v, 1),
@@ -406,10 +383,9 @@ class TransformerCaptioner(nn.Module):
         for i in range(cfg.N_dec):
             proj = self.dec_self[i]
             y = self.dec_norm1[i](x)
-            q_, k_, v_ = proj.qkv(y)                  # one [B, D]x[D, 3D]
-            q = _split_heads(q_, h)                   # [B, h, 1, dk]
-            k_new = _split_heads(k_, h)               # [B, h, 1, dk]
-            v_new = _split_heads(v_, h)
+            q = _split_heads(proj.wq(y), h)           # [B, h, 1, dk]
+            k_new = _split_heads(proj.wk(y), h)       # [B, h, 1, dk]
+            v_new = _split_heads(proj.wv(y), h)
             k_cache = _cache_write(state['k%d' % i], k_new)
             v_cache = _cache_write(state['v%d' % i], v_new)
             new_state['k%d' % i] = k_cache
@@ -477,7 +453,8 @@ class TransformerCaptioner(nn.Module):
         for i in range(cfg.N_dec):
             proj = self.dec_self[i]
             y = self.dec_norm1[i](x)
-            q, k, v = (_split_heads(u, h) for u in proj.qkv(y))
+            q, k, v = (_split_heads(proj.wq(y), h), _split_heads(proj.wk(y), h),
+                       _split_heads(proj.wv(y), h))
             y = proj.wo(_merge_heads(_attend(q, k, v, tgt_mask,
                                              self._attn_dropout(train))))
             x = x + self._dropout(y, cfg.dropout, train)
@@ -485,9 +462,8 @@ class TransformerCaptioner(nn.Module):
             sproj = self.dec_src[i]
             y = self.dec_norm2[i](x)
             q2 = _split_heads(sproj.wq(y), h)
-            mk_, mv_ = sproj.kv(memory)
-            mk = _split_heads(mk_, h)
-            mv = _split_heads(mv_, h)
+            mk = _split_heads(sproj.wk(memory), h)
+            mv = _split_heads(sproj.wv(memory), h)
             if seq_per_img > 1:
                 y = sproj.wo(_merge_heads(_attend_grouped(
                     q2.reshape(nb, seq_per_img, h, T, -1), mk, mv,
