@@ -74,6 +74,22 @@ def aoa_opt():
     return o
 
 
+def bert_opt():
+    # native flax BERT blocks at transformer.yml shapes
+    o = transformer_opt()
+    o.caption_model = 'bert'
+    return o
+
+
+def m2_opt():
+    # meshed-memory: 3 enc/dec layers (paper config), d_model 512
+    o = transformer_opt()
+    o.caption_model = 'm2transformer'
+    o.N_enc = 3
+    o.N_dec = 3
+    return o
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -85,7 +101,8 @@ def main():
     parser.add_argument('--iters', type=int, default=5)
     parser.add_argument('--models', type=str,
                         default='transformer,updown',
-                        help='comma list: transformer,updown,att2in2,aoa')
+                        help='comma list: transformer,updown,att2in2,aoa,'
+                             'bert,m2transformer')
     parser.add_argument('--fused', type=int, default=1,
                         help='also bench the fully-fused on-device SCST step'
                              ' (--on_device_cider path)')
@@ -119,7 +136,8 @@ def main():
                 jnp.ones((B, 36), jnp.float32))
 
     all_opts = {'transformer': transformer_opt, 'updown': updown_opt,
-                'att2in2': att2in2_opt, 'aoa': aoa_opt}
+                'att2in2': att2in2_opt, 'aoa': aoa_opt,
+                'bert': bert_opt, 'm2transformer': m2_opt}
     for name in args.models.split(','):
         opt = all_opts[name]()
         cap = setup(opt, vocab)
