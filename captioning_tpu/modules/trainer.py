@@ -118,12 +118,18 @@ class Trainer:
                       'sample_n': opt.train_sample_n}
 
             def fn(variables, fc, att, am, rng_greedy, rng_sample):
+                # neither pass is differentiated here (sc_grad_step
+                # recomputes logprobs rng-exactly), so both use the
+                # early-exit while_loop path (return_stats) — no per-step
+                # distribution tables, loop stops when all rows finish
                 dm_eval = cap.bind(variables, train=False)
                 greedy_seq, _ = decoding.sample(dm_eval, fc, att, am,
-                                                rng_greedy, sc_opt)
+                                                rng_greedy, sc_opt,
+                                                return_stats=True)
                 dm_train = cap.bind(variables, train=True)
                 gen_seq, _ = decoding.sample(dm_train, fc, att, am,
-                                             rng_sample, tr_opt)
+                                             rng_sample, tr_opt,
+                                             return_stats=True)
                 return greedy_seq, gen_seq
 
             self._cache[key] = jax.jit(fn)
@@ -187,9 +193,14 @@ class Trainer:
 
             def loss_fn(variables, fc, att, am, refs, ref_mask,
                         rng_greedy, rng_sample):
+                # the baseline is gradient-free (int tokens + stop_gradient),
+                # so it rides the early-exit while_loop path; the sampling
+                # pass below keeps the scan (gradients flow through its
+                # logprobs, and lax.while_loop is not reverse-differentiable)
                 dm_eval = cap.bind(variables, train=False)
                 greedy_seq, _ = decoding.sample(
-                    dm_eval, fc, att, am, rng_greedy, sc_opt)
+                    dm_eval, fc, att, am, rng_greedy, sc_opt,
+                    return_stats=True)
                 greedy_seq = jax.lax.stop_gradient(greedy_seq)
                 dm_train = cap.bind(variables, train=True)
                 gen_seq, gen_logprobs = decoding.sample(
@@ -313,7 +324,10 @@ class Trainer:
 
             def fn(variables, fc, att, am, rng):
                 dm = cap.bind(variables, train=True)
-                gen_seq, _ = decoding.sample(dm, fc, att, am, rng, tr_opt)
+                # not differentiated (struc_grad_step recomputes): use the
+                # early-exit while_loop path
+                gen_seq, _ = decoding.sample(dm, fc, att, am, rng, tr_opt,
+                                             return_stats=True)
                 return gen_seq
 
             self._cache[key] = jax.jit(fn)
