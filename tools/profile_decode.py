@@ -54,7 +54,8 @@ def build(batch, mode):
         dopt = {'sample_method': 'greedy', 'beam_size': 1, 'sample_n': 1}
 
         def run(key):
-            seq, _ = cap.sample_jit(variables, fc, att, am, key, dopt)
+            # production eval path (carried stats, early-exit while_loop)
+            seq, _ = cap.sample_stats_jit(variables, fc, att, am, key, dopt)
             return seq
     return run
 
