@@ -25,6 +25,7 @@ feature normalization + area sort, fc fallback to att mean.
 from __future__ import annotations
 
 import json
+import os
 import queue
 import random
 import threading
@@ -92,6 +93,26 @@ class Dataset:
 
         self.num_images = len(self.info['images'])
         print('read %d image features' % self.num_images)
+
+        # native fused batch IO (native/dataio.cpp): one GIL-free C++ call
+        # decodes a whole batch of npy/npz straight into the padded att
+        # buffer.  Eligible only when the batch is a pure load — att from a
+        # plain directory, fc from a directory or absent, and none of the
+        # per-item transforms (box concat, L2 norm) the Python path applies.
+        # Any native failure at runtime falls back permanently (collate_native
+        # raises; _SplitPipeline clears the handle).
+        self.native_io = None
+        if (int(getattr(opt, 'native_io', 1) or 0)
+                and self.use_att and not self.use_box
+                and not self.norm_att_feat and not self.data_in_memory
+                and self.att_loader.db_type == 'dir'
+                and (not self.use_fc or self.fc_loader.db_type == 'dir')):
+            from . import native_io as _nio
+            if _nio.available():
+                self.native_io = _nio.NativeBatchLoader(
+                    int(getattr(opt, 'att_feat_size', 2048)),
+                    int(getattr(opt, 'fc_feat_size', 2048)),
+                    int(getattr(opt, 'num_data_threads', 4) or 4))
 
         # split assignment incl. restval (reference :143-157)
         self.split_ix = {'train': [], 'val': [], 'test': []}
@@ -246,6 +267,71 @@ class Dataset:
         data['infos'] = infos
         return data
 
+    def collate_native(self, indices: List[Any], split: str) -> Dict[str, Any]:
+        """Native-IO batch assembly: same output, byte for byte, as
+        ``pool.map(get_item) + collate`` (tests/test_native_io.py), with the
+        feature reads fused into two libdataio calls (header scan to size the
+        bucket, then decode into the padded slots)."""
+        seq_per_img = self.seq_per_img
+        nio = self.native_io
+        ids = [str(self.info['images'][ix]['id']) for ix, _, _ in indices]
+        att_paths = [os.path.join(self.att_loader.db_path, i + self.att_loader.ext)
+                     for i in ids]
+        rows = nio.scan_rows(att_paths)
+        pad_len = self._bucket_len(int(rows.max()))
+        fc_paths = None
+        if self.use_fc:
+            fc_paths = [os.path.join(self.fc_loader.db_path, i + '.npy')
+                        for i in ids]
+        att, fc, fc_ok = nio.load(att_paths, pad_len, fc_paths)
+
+        data: Dict[str, Any] = {}
+        data['att_feats'] = att
+        data['att_masks'] = (np.arange(pad_len)[None, :]
+                             < rows[:, None]).astype('float32')
+        if self.use_fc:
+            for i in np.nonzero(~fc_ok)[0]:
+                # fc absent: att-mean fallback over the same f32 values the
+                # Python path means over (dataset.py get_item :178-183)
+                fc[i] = att[i, :rows[i]].mean(0)
+            data['fc_feats'] = fc
+        else:
+            data['fc_feats'] = np.zeros((len(indices), 0), dtype='float32')
+
+        label_batch, gts, infos = [], [], []
+        wrapped = False
+        it_pos_now = 0
+        for ix, it_pos_now, tmp_wrapped in indices:
+            if tmp_wrapped:
+                wrapped = True
+            tmp_label = np.zeros([seq_per_img, self.seq_length + 2], dtype='int')
+            if self.has_labels:
+                tmp_label[:, 1:self.seq_length + 1] = self.get_captions(
+                    ix, seq_per_img, it_pos_now)
+                gts.append(self.label[self.label_start_ix[ix] - 1:
+                                      self.label_end_ix[ix]])
+            else:
+                gts.append([])
+            label_batch.append(tmp_label)
+            infos.append({
+                'ix': ix,
+                'id': self.info['images'][ix]['id'],
+                'file_path': self.info['images'][ix].get('file_path', ''),
+            })
+
+        labels = np.vstack(label_batch)
+        nonzeros = (labels != 0).sum(1) + 2
+        masks = (np.arange(self.seq_length + 2)[None, :]
+                 < nonzeros[:, None]).astype('float32')
+        data['labels'] = labels.reshape(len(indices), seq_per_img, -1)
+        data['masks'] = masks.reshape(len(indices), seq_per_img, -1)
+        data['gts'] = gts
+        data['bounds'] = {'it_pos_now': it_pos_now,
+                          'it_max': len(self.split_ix[split]),
+                          'wrapped': wrapped}
+        data['infos'] = infos
+        return data
+
     def __len__(self):
         return len(self.info['images'])
 
@@ -364,8 +450,17 @@ class _SplitPipeline:
                     hit_end = True
                     break
             if indices:
-                items = list(self.pool.map(self.dataset.get_item, indices))
-                batch = self.dataset.collate(items, self.split)
+                batch = None
+                if self.dataset.native_io is not None:
+                    try:
+                        batch = self.dataset.collate_native(indices, self.split)
+                    except Exception as e:  # noqa: BLE001 — any decode issue
+                        print('native IO failed (%s); falling back to the '
+                              'Python item path' % e)
+                        self.dataset.native_io = None
+                if batch is None:
+                    items = list(self.pool.map(self.dataset.get_item, indices))
+                    batch = self.dataset.collate(items, self.split)
                 batch['_sampler_state'] = self.sampler.state_dict()
                 while not self._stop.is_set():
                     try:

@@ -157,6 +157,10 @@ def build_parser():
                         help='host-side prefetch depth of the input pipeline')
     parser.add_argument('--num_data_threads', type=int, default=4,
                         help='host-side feature-reader threads')
+    parser.add_argument('--native_io', type=int, default=1,
+                        help='use the C++ batch feature loader '
+                             '(native/dataio.cpp) when the dataset qualifies;'
+                             ' 0 forces the Python item path')
     parser.add_argument('--mesh_shape', type=str, default='',
                         help='device mesh, e.g. "data:8" or "data:4,model:2". '
                              'Empty = all devices on the data axis.')

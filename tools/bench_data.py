@@ -29,6 +29,9 @@ def main():
     parser.add_argument('--prefetch', type=int, default=4)
     parser.add_argument('--iters', type=int, default=40)
     parser.add_argument('--seq_per_img', type=int, default=5)
+    parser.add_argument('--native_io', type=int, default=1,
+                        help='0 forces the Python item path (A/B against the'
+                             ' C++ batch loader, native/dataio.cpp)')
     parser.add_argument('--dir', type=str, default='/tmp/bench_data',
                         help='dataset dir (reused if already built with the'
                              ' same --images)')
@@ -57,8 +60,10 @@ def main():
         fc_dim=2048, att_dim=2048)
     opt = make_opt(ds, model='updown',
                    batch_size=args.batch, seq_per_img=args.seq_per_img,
-                   num_data_threads=args.threads, num_prefetch=args.prefetch)
+                   num_data_threads=args.threads, num_prefetch=args.prefetch,
+                   native_io=args.native_io)
     loader = DataLoader(opt)
+    print('native IO engaged:', loader.dataset.native_io is not None)
 
     # warmup: first batches pay cold page cache + thread spin-up
     for _ in range(5):
