@@ -61,19 +61,14 @@ def build(batch, mode):
 
 
 def hlo_stats_from_trace(logdir):
-    """Parse the captured xplane into per-HLO self-time rows."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-    xs = glob.glob(os.path.join(logdir, '**', '*.xplane.pb'),
-                   recursive=True)
-    assert xs, 'no xplane captured under %s' % logdir
-    data, _ = raw_to_tool_data.xspace_to_tool_data(xs, 'hlo_stats^', {})
-    if isinstance(data, bytes):
-        try:
-            data = gzip.decompress(data)
-        except OSError:
-            pass
-        data = data.decode()
-    return json.loads(data)
+    """Parse the captured xplane into per-HLO op time rows.
+
+    Uses the self-contained wire-format parser (tools/xplane.py): the
+    tensorboard_plugin_profile converter is unimportable in this image
+    (its generated protos predate protobuf 4, and the pywrap fallback
+    lacks xspace_to_tools_data)."""
+    from xplane import op_self_times
+    return op_self_times(logdir)
 
 
 def main():
@@ -107,18 +102,12 @@ def main():
     _ = np.asarray(run(jax.random.PRNGKey(2)))
     jax.profiler.stop_trace()
 
-    stats = hlo_stats_from_trace(args.logdir)
-    # hlo_stats JSON: {'data': [...rows...]} with columns described in
-    # 'columns'; print the top rows by self time
-    try:
-        cols = [c['name'] if isinstance(c, dict) else c
-                for c in stats.get('columns', [])]
-        rows = stats.get('data', [])
-        print('columns:', cols)
-        for r in rows[:args.top]:
-            print(r)
-    except Exception:
-        print(json.dumps(stats)[:4000])
+    rows = hlo_stats_from_trace(args.logdir)
+    total = sum(r[1] for r in rows)
+    print('total device op time: %.1f ms (incl. while/conditional '
+          'wrappers, which nest their bodies)' % total)
+    for op, ms, n in rows[:args.top]:
+        print('%9.3f ms  x%-5d %s' % (ms, n, op))
 
 
 if __name__ == '__main__':
