@@ -244,6 +244,44 @@ class TransformerCaptioner(nn.Module):
         return ffn.w_2(self._dropout(nn.relu(ffn.w_1(x)), self.cfg.dropout,
                                      train))
 
+    def _lazy_cross(self, sproj, y, mem, att_masks, bw, dropout_fn):
+        """Decode-step cross-attention over the RAW encoder memory.
+
+        Exact reformulation of q·K(mem) -> softmax -> p·V(mem): the K
+        projection folds into the query (K's bias shifts every score of a
+        row equally, so softmax is invariant to it) and the V projection is
+        applied to the attended context (sum_m p_m = 1 restores V's bias).
+        Per-layer [B, h, M, dk] K/V tensors (reference
+        cachedTransformer.py:201-242 caches them) are never materialized:
+        same HBM traffic per step, but MXU-shaped batched matmuls instead
+        of the [B,h,M]-output mul+reduce VPU fusions (which measured ~half
+        the greedy step, tools/profile_decode.py) and 12x less feats
+        memory.
+
+        y: [B, 1, D] with B = nb*bw (bw > 1 when beam blocks share feats);
+        mem: [nb, M, D]; att_masks: [nb, M] or None.  Returns [B, 1, D].
+        """
+        cfg = self.cfg
+        h = cfg.num_att_heads
+        D = cfg.d_model
+        dk = D // h
+        nb, M, _ = mem.shape
+        q = _split_heads(sproj.wq(y), h)[:, :, 0]            # [B, h, dk]
+        wk = sproj.wk.variables['params']['kernel'].astype(mem.dtype)
+        qt = jnp.einsum('bhk,dhk->bhd', q, wk.reshape(D, h, dk))
+        scores = jnp.einsum('gqd,gmd->gqm', qt.reshape(nb, bw * h, D),
+                            mem) / jnp.sqrt(jnp.asarray(dk, q.dtype))
+        if att_masks is not None:
+            scores = jnp.where(att_masks[:, None, :] == 0, _NEG_INF, scores)
+        p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        p = dropout_fn(p)
+        ctx = jnp.einsum('gqm,gmd->gqd', p, mem)             # [nb, bw*h, D]
+        wv = sproj.wv.variables['params']['kernel'].astype(mem.dtype)
+        bv = sproj.wv.variables['params']['bias'].astype(mem.dtype)
+        out = jnp.einsum('bhd,dhk->bhk', ctx.reshape(-1, h, D),
+                         wv.reshape(D, h, dk)) + bv.reshape(1, h, dk)
+        return sproj.wo(out.reshape(-1, 1, D))
+
     def _embed_tokens(self, ids, t0, train: bool):
         """Embeddings * sqrt(d) + PE (positions t0..t0+T) + dropout
         (reference :208-235)."""
@@ -284,18 +322,17 @@ class TransformerCaptioner(nn.Module):
     def prepare_feature(self, fc_feats, att_feats, att_masks,
                         train: bool = False):
         memory = self.encode(att_feats, att_masks, train)
-        cfg = self.cfg
-        h = cfg.num_att_heads
-        # Precompute per-layer cross-attention K/V (cachedTransformer.py:201-242)
-        mem_k, mem_v = [], []
-        for i in range(cfg.N_dec):
-            proj = self.dec_src[i]
-            mem_k.append(_split_heads(proj.wk(memory), h))
-            mem_v.append(_split_heads(proj.wv(memory), h))
-        return {'memory': memory,
-                'mem_k': jnp.stack(mem_k, 1),   # [B, N_dec, h, M, dk]
-                'mem_v': jnp.stack(mem_v, 1),
-                'att_masks': att_masks}
+        # Decode steps attend the raw memory with the K/V projections folded
+        # around the attention (_lazy_cross), so the reference's per-layer
+        # K/V decode caches (cachedTransformer.py:201-242) are never
+        # materialized — the "cache" is the memory itself.
+        if self.is_initializing():
+            # wk/wv are otherwise applied only by forward_tf; touch them so
+            # init creates the full (checkpoint-compatible) param tree
+            for i in range(self.cfg.N_dec):
+                _ = self.dec_src[i].wk(memory[:, :1])
+                _ = self.dec_src[i].wv(memory[:, :1])
+        return {'memory': memory, 'att_masks': att_masks}
 
     def init_state(self, batch_size: int):
         # per-layer cache entries: each step updates one small tensor
@@ -354,12 +391,8 @@ class TransformerCaptioner(nn.Module):
         # (sample_beam passes un-replicated memory when the model supports
         # shared feats); detected by shape so it works with either the
         # ancestry or the physical-reorder beam path
-        nb_feats = feats['mem_k'].shape[0]
-        shared_cross = nb_feats != B
-        cross_bw = B // nb_feats if shared_cross else 1
-        src_mask = None
-        if feats['att_masks'] is not None and not shared_cross:
-            src_mask = feats['att_masks'][:, None, None, :]
+        nb_feats = feats['memory'].shape[0]
+        cross_bw = B // nb_feats
 
         rows = jnp.arange(B)
 
@@ -400,18 +433,9 @@ class TransformerCaptioner(nn.Module):
                     self._attn_dropout(train))))
             x = x + self._dropout(y, cfg.dropout, train)
 
-            sproj = self.dec_src[i]
-            y = self.dec_norm2[i](x)
-            q2 = _split_heads(sproj.wq(y), h)
-            if shared_cross:
-                y = sproj.wo(_merge_heads(_attend_shared(
-                    q2.reshape(nb_feats, cross_bw, h, -1),
-                    feats['mem_k'][:, i], feats['mem_v'][:, i],
-                    feats['att_masks'], self._attn_dropout(train))))
-            else:
-                y = sproj.wo(_merge_heads(_attend(
-                    q2, feats['mem_k'][:, i], feats['mem_v'][:, i], src_mask,
-                    self._attn_dropout(train))))
+            y = self._lazy_cross(self.dec_src[i], self.dec_norm2[i](x),
+                                 feats['memory'], feats['att_masks'],
+                                 cross_bw, self._attn_dropout(train))
             x = x + self._dropout(y, cfg.dropout, train)
 
             y = self._ffn_apply(self.dec_ffn[i], self.dec_norm3[i](x), train)
