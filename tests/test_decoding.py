@@ -495,6 +495,7 @@ def test_beam_early_exit_exact_on_finishing_captions(lp):
                        rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # compiles real model programs
 def test_dynamic_beam_one_program_across_params():
     """temperature / suppress_UNK / length-penalty alpha are traced beam
     operands: an eval sweep over them reuses ONE compiled program per

@@ -148,6 +148,7 @@ def test_decode_sequence_bpe_and_stop():
     assert out[1] == 'dog'
 
 
+@pytest.mark.slow  # heavy compile: see pytest.ini
 def test_batchnorm_stats_update_in_xe_step():
     """use_bn running statistics must accumulate during training
     (reference att_embed BatchNorm1d, AttModel.py:80-85)."""
@@ -181,6 +182,7 @@ def test_batchnorm_stats_update_in_xe_step():
     assert any(not np.allclose(a, b) for a, b in zip(before, after))
 
 
+@pytest.mark.slow  # heavy compile: see pytest.ini
 def test_mixed_ensemble_ancestry_beam_equals_physical():
     """Ensemble beam with per-member ancestry (transformer member) matches
     the all-physical-reorder path exactly, including diverse groups."""
