@@ -154,6 +154,21 @@ def save_checkpoint(opt, params, infos, opt_state, histories=None, append=''):
             pickle_dump(histories, f)
 
 
+def honor_jax_platforms_env():
+    """Re-apply the JAX_PLATFORMS env var over site-level overrides.
+
+    Hosted TPU images may register their PJRT plugin from sitecustomize
+    and force ``jax_platforms`` to the accelerator (clobbering the env
+    var), so ``JAX_PLATFORMS=cpu python tools/train.py`` would silently
+    target — or, with an unhealthy accelerator tunnel, hang on — the
+    device the user explicitly opted out of.  The CLIs call this right
+    after importing jax: an explicit env var wins."""
+    plats = os.environ.get('JAX_PLATFORMS')
+    if plats:
+        import jax
+        jax.config.update('jax_platforms', plats)
+
+
 def set_rng_impl(impl: str):
     """Select the JAX PRNG implementation (opts --rng_impl).
 

@@ -21,6 +21,8 @@ def main(params):
     import jax
     from captioning_tpu.models.resnet import (load_torch_resnet,
                                               resnet_features)
+    from captioning_tpu.utils.misc import honor_jax_platforms_env
+    honor_jax_platforms_env()
 
     weights = os.path.join(params['model_root'], params['model'] + '.pth')
     resnet_params = load_torch_resnet(weights)

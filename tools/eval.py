@@ -21,6 +21,8 @@ import captioning_tpu.models as models
 import captioning_tpu.utils.eval_utils as eval_utils
 import captioning_tpu.utils.misc as utils
 
+utils.honor_jax_platforms_env()
+
 
 def main():
     parser = argparse.ArgumentParser()

@@ -19,6 +19,8 @@ import captioning_tpu.utils.eval_utils as eval_utils
 import captioning_tpu.utils.misc as utils
 from captioning_tpu.models.ensemble import EnsembleCaptioner
 
+utils.honor_jax_platforms_env()
+
 
 def main():
     parser = argparse.ArgumentParser()

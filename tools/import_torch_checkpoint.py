@@ -21,6 +21,8 @@ import captioning_tpu.utils.misc as utils
 from captioning_tpu.models.harness import config_from_opt
 from captioning_tpu.utils.torch_convert import convert_checkpoint
 
+utils.honor_jax_platforms_env()
+
 
 def main():
     parser = argparse.ArgumentParser()

@@ -32,6 +32,8 @@ from captioning_tpu.utils.rewards import (init_scorer,
                                           get_self_critical_reward,
                                           get_scores, get_self_cider_scores)
 
+utils.honor_jax_platforms_env()
+
 try:
     from torch.utils.tensorboard import SummaryWriter
 except Exception:  # tensorboard optional

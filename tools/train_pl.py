@@ -31,6 +31,9 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 from captioning_tpu.utils import opts
+from captioning_tpu.utils.misc import honor_jax_platforms_env
+
+honor_jax_platforms_env()
 
 
 def main():
