@@ -253,3 +253,33 @@ def test_set_rng_impl_switches_and_restores():
     finally:
         jax.config.update('jax_default_prng_impl', default)
     assert jax.random.PRNGKey(0).shape == (2,)
+
+
+def test_honor_jax_platforms_env():
+    """An explicit JAX_PLATFORMS env var wins over site-level config
+    overrides (hosted-TPU sitecustomize forces jax_platforms to the
+    accelerator, which would make JAX_PLATFORMS=cpu CLI subprocesses
+    target — or hang on — the device the user opted out of)."""
+    import os
+
+    import jax
+
+    from captioning_tpu.utils.misc import honor_jax_platforms_env
+    before = jax.config.jax_platforms
+    prev_env = os.environ.get('JAX_PLATFORMS')
+    try:
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+        jax.config.update('jax_platforms', 'cpu,cpu')  # site-style override
+        honor_jax_platforms_env()
+        assert jax.config.jax_platforms == 'cpu'
+        # unset env -> no-op
+        del os.environ['JAX_PLATFORMS']
+        jax.config.update('jax_platforms', 'cpu,cpu')
+        honor_jax_platforms_env()
+        assert jax.config.jax_platforms == 'cpu,cpu'
+    finally:
+        if prev_env is None:
+            os.environ.pop('JAX_PLATFORMS', None)
+        else:
+            os.environ['JAX_PLATFORMS'] = prev_env
+        jax.config.update('jax_platforms', before)
