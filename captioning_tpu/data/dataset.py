@@ -208,37 +208,55 @@ class Dataset:
                if self.has_labels else None)
         return (fc_feat, att_feat, seq, ix, it_pos_now, wrapped)
 
-    def collate(self, batch: List[Any], split: str) -> Dict[str, Any]:
-        """Assemble a static-shape batch (reference collate_func :182-260)."""
+    def _assemble_bookkeeping(self, items: List[Any], split: str
+                              ) -> Dict[str, Any]:
+        """Label/mask/gts/infos/bounds assembly shared by ``collate``
+        (reference collate_func :204-260) and ``collate_native`` — one
+        implementation so the two batch paths cannot drift apart.
+
+        ``items``: list of (ix, it_pos_now, wrapped, seq[seq_per_img, L]).
+        """
         seq_per_img = self.seq_per_img
-        fc_batch, att_batch, label_batch, gts, infos = [], [], [], [], []
+        label_batch, gts, infos = [], [], []
         wrapped = False
         it_pos_now = 0
-
-        for sample in batch:
-            tmp_fc, tmp_att, tmp_seq, ix, it_pos_now, tmp_wrapped = sample
+        for ix, it_pos_now, tmp_wrapped, tmp_seq in items:
             if tmp_wrapped:
                 wrapped = True
-            fc_batch.append(tmp_fc)
-            att_batch.append(tmp_att)
-
-            tmp_label = np.zeros([seq_per_img, self.seq_length + 2], dtype='int')
+            tmp_label = np.zeros([seq_per_img, self.seq_length + 2],
+                                 dtype='int')
             if self.has_labels:
                 tmp_label[:, 1:self.seq_length + 1] = tmp_seq
-            label_batch.append(tmp_label)
-
-            if self.has_labels:
-                gts.append(self.label[self.label_start_ix[ix] - 1: self.label_end_ix[ix]])
+                gts.append(self.label[self.label_start_ix[ix] - 1:
+                                      self.label_end_ix[ix]])
             else:
                 gts.append([])
-
+            label_batch.append(tmp_label)
             infos.append({
                 'ix': ix,
                 'id': self.info['images'][ix]['id'],
                 'file_path': self.info['images'][ix].get('file_path', ''),
             })
+        labels = np.vstack(label_batch)
+        nonzeros = (labels != 0).sum(1) + 2
+        masks = (np.arange(self.seq_length + 2)[None, :]
+                 < nonzeros[:, None]).astype('float32')
+        n = len(items)
+        return {'labels': labels.reshape(n, seq_per_img, -1),
+                'masks': masks.reshape(n, seq_per_img, -1),
+                'gts': gts,
+                'bounds': {'it_pos_now': it_pos_now,
+                           'it_max': len(self.split_ix[split]),
+                           'wrapped': wrapped},
+                'infos': infos}
 
-        data: Dict[str, Any] = {}
+    def collate(self, batch: List[Any], split: str) -> Dict[str, Any]:
+        """Assemble a static-shape batch (reference collate_func :182-260)."""
+        fc_batch = [s[0] for s in batch]
+        att_batch = [s[1] for s in batch]
+
+        data: Dict[str, Any] = self._assemble_bookkeeping(
+            [(ix, pos, wr, seq) for _, _, seq, ix, pos, wr in batch], split)
         data['fc_feats'] = np.stack(fc_batch).astype('float32')
 
         max_att_len = max(_.shape[0] for _ in att_batch)
@@ -250,21 +268,6 @@ class Dataset:
             if att.size:
                 data['att_feats'][i, :att.shape[0]] = att
             data['att_masks'][i, :att.shape[0]] = 1
-
-        data['labels'] = np.vstack(label_batch)
-        nonzeros = np.array(list(map(lambda x: (x != 0).sum() + 2, data['labels'])))
-        mask_batch = np.zeros([data['labels'].shape[0], self.seq_length + 2], dtype='float32')
-        for i, row in enumerate(mask_batch):
-            row[:nonzeros[i]] = 1
-        data['masks'] = mask_batch
-        data['labels'] = data['labels'].reshape(len(batch), seq_per_img, -1)
-        data['masks'] = data['masks'].reshape(len(batch), seq_per_img, -1)
-
-        data['gts'] = gts
-        data['bounds'] = {'it_pos_now': it_pos_now,
-                          'it_max': len(self.split_ix[split]),
-                          'wrapped': wrapped}
-        data['infos'] = infos
         return data
 
     def collate_native(self, indices: List[Any], split: str) -> Dict[str, Any]:
@@ -298,38 +301,11 @@ class Dataset:
         else:
             data['fc_feats'] = np.zeros((len(indices), 0), dtype='float32')
 
-        label_batch, gts, infos = [], [], []
-        wrapped = False
-        it_pos_now = 0
-        for ix, it_pos_now, tmp_wrapped in indices:
-            if tmp_wrapped:
-                wrapped = True
-            tmp_label = np.zeros([seq_per_img, self.seq_length + 2], dtype='int')
-            if self.has_labels:
-                tmp_label[:, 1:self.seq_length + 1] = self.get_captions(
-                    ix, seq_per_img, it_pos_now)
-                gts.append(self.label[self.label_start_ix[ix] - 1:
-                                      self.label_end_ix[ix]])
-            else:
-                gts.append([])
-            label_batch.append(tmp_label)
-            infos.append({
-                'ix': ix,
-                'id': self.info['images'][ix]['id'],
-                'file_path': self.info['images'][ix].get('file_path', ''),
-            })
-
-        labels = np.vstack(label_batch)
-        nonzeros = (labels != 0).sum(1) + 2
-        masks = (np.arange(self.seq_length + 2)[None, :]
-                 < nonzeros[:, None]).astype('float32')
-        data['labels'] = labels.reshape(len(indices), seq_per_img, -1)
-        data['masks'] = masks.reshape(len(indices), seq_per_img, -1)
-        data['gts'] = gts
-        data['bounds'] = {'it_pos_now': it_pos_now,
-                          'it_max': len(self.split_ix[split]),
-                          'wrapped': wrapped}
-        data['infos'] = infos
+        data.update(self._assemble_bookkeeping(
+            [(ix, pos, wr,
+              self.get_captions(ix, seq_per_img, pos)
+              if self.has_labels else None)
+             for ix, pos, wr in indices], split))
         return data
 
     def __len__(self):

@@ -130,19 +130,14 @@ def _where_tree(mask_flat, new_tree, old_tree):
 
 
 def penalty_fn(length_penalty: str):
-    """jnp version of misc.penalty_builder (reference misc.py:133-157)."""
+    """jnp version of misc.penalty_builder (reference misc.py:133-157).
+
+    The '<type>_<alpha>' spec parses here; the math lives only in
+    ``penalty_fn_dynamic`` (a float alpha is just a weakly-typed operand)."""
     if not length_penalty:
-        return lambda length, logprobs: logprobs
+        return penalty_fn_dynamic('', 0.0)
     pen_type, alpha = length_penalty.split('_')
-    alpha = float(alpha)
-    if pen_type == 'wu':
-        def wu(length, logprobs):
-            mod = ((5.0 + length) ** alpha) / ((5.0 + 1.0) ** alpha)
-            return logprobs / mod
-        return wu
-    if pen_type == 'avg':
-        return lambda length, logprobs: logprobs / jnp.maximum(length, 1)
-    raise ValueError('unknown length_penalty %s' % length_penalty)
+    return penalty_fn_dynamic(pen_type, float(alpha))
 
 
 def penalty_fn_dynamic(pen_type: str, alpha):

@@ -244,13 +244,19 @@ class TransformerCaptioner(nn.Module):
         return ffn.w_2(self._dropout(nn.relu(ffn.w_1(x)), self.cfg.dropout,
                                      train))
 
-    def _lazy_cross(self, sproj, y, mem, att_masks, bw, dropout_fn):
+    def _lazy_cross(self, sproj, y, mem, att_masks, bw, dropout_fn,
+                    dropped: bool = False):
         """Decode-step cross-attention over the RAW encoder memory.
 
         Exact reformulation of q·K(mem) -> softmax -> p·V(mem): the K
         projection folds into the query (K's bias shifts every score of a
         row equally, so softmax is invariant to it) and the V projection is
-        applied to the attended context (sum_m p_m = 1 restores V's bias).
+        applied to the attended context.  V's bias enters weighted by
+        sum_m p_m — exactly 1 for plain softmax (the eval path adds ``bv``
+        directly to keep its numerics bit-identical to the cached-K/V
+        formulation), but NOT 1 under attention dropout, where the dropped
+        probabilities carry ``p.sum(-1)`` through to the bias term
+        (``dropped=True``, train-mode RL decode).
         Per-layer [B, h, M, dk] K/V tensors (reference
         cachedTransformer.py:201-242 caches them) are never materialized:
         same HBM traffic per step, but MXU-shaped batched matmuls instead
@@ -279,7 +285,13 @@ class TransformerCaptioner(nn.Module):
         wv = sproj.wv.variables['params']['kernel'].astype(mem.dtype)
         bv = sproj.wv.variables['params']['bias'].astype(mem.dtype)
         out = jnp.einsum('bhd,dhk->bhk', ctx.reshape(-1, h, D),
-                         wv.reshape(D, h, dk)) + bv.reshape(1, h, dk)
+                         wv.reshape(D, h, dk))
+        if dropped:
+            # dropout rescaled/zeroed p: the cached-K/V computation weights
+            # V's bias by the (dropped) probability mass, not by 1
+            out = out + bv.reshape(1, h, dk) * p.sum(-1).reshape(-1, h, 1)
+        else:
+            out = out + bv.reshape(1, h, dk)
         return sproj.wo(out.reshape(-1, 1, D))
 
     def _embed_tokens(self, ids, t0, train: bool):
@@ -435,7 +447,8 @@ class TransformerCaptioner(nn.Module):
 
             y = self._lazy_cross(self.dec_src[i], self.dec_norm2[i](x),
                                  feats['memory'], feats['att_masks'],
-                                 cross_bw, self._attn_dropout(train))
+                                 cross_bw, self._attn_dropout(train),
+                                 dropped=train and self.cfg.dropout > 0)
             x = x + self._dropout(y, cfg.dropout, train)
 
             y = self._ffn_apply(self.dec_ffn[i], self.dec_norm3[i](x), train)

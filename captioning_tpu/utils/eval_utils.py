@@ -142,6 +142,17 @@ def language_eval(dataset, preds, preds_n, eval_kwargs, split):
     return out
 
 
+def _stats_from_sums(seq, stats, real_rows):
+    """Per-caption entropy/perplexity from carried scan sums — the same two
+    reductions the reference takes from the stored distributions
+    (eval_utils.py:173-174), shared by the beam and sample fast paths."""
+    seq = np.asarray(seq)[:real_rows]
+    denom = (seq > 0).sum(1) + 1
+    entropy = np.asarray(stats['ent_sum'])[:real_rows] / denom
+    perplexity = -np.asarray(stats['lp_sum'])[:real_rows] / denom
+    return seq, entropy, perplexity
+
+
 def eval_split(captioner, variables, loader, eval_kwargs=None):
     """reference eval_utils.py:128-226.
 
@@ -251,10 +262,8 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
             seq, stats, _done = captioner.sample_beam_jit(
                 variables, fc_d, att_d, am_d, step_rng, sample_opt,
                 want_logps=False)
-            seq = np.asarray(seq)[:real_rows]
-            denom = (seq > 0).sum(1) + 1
-            entropy = np.asarray(stats['ent_sum'])[:real_rows] / denom
-            perplexity = -np.asarray(stats['lp_sum'])[:real_rows] / denom
+            seq, entropy, perplexity = _stats_from_sums(
+                seq, stats, real_rows)
         elif (stats_out := getattr(captioner, 'sample_stats_jit',
                                    lambda *a: None)(
                 variables, fc_d, att_d, am_d, step_rng,
@@ -262,10 +271,8 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
             # sample-family fast path: ent/perplexity sums carried through
             # the scan; the [N, L, V+1] table never materializes
             seq, stats = stats_out
-            seq = np.asarray(seq)[:real_rows]
-            denom = (seq > 0).sum(1) + 1
-            entropy = np.asarray(stats['ent_sum'])[:real_rows] / denom
-            perplexity = -np.asarray(stats['lp_sum'])[:real_rows] / denom
+            seq, entropy, perplexity = _stats_from_sums(
+                seq, stats, real_rows)
         else:
             seq, seq_logprobs = captioner.sample_jit(
                 variables, fc_d, att_d, am_d, step_rng, sample_opt)

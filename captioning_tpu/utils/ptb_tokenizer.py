@@ -120,15 +120,13 @@ _PASSTHROUGH = frozenset(["``", "''", '...', '--', '.', "'", '`'])
 
 def _split_final_period(tok: str) -> List[str]:
     """PTB splits one sentence-final period off a word; abbreviation
-    periods stay attached (mr., u.s.).  Decimal numbers keep theirs."""
+    periods stay attached (mr., u.s.).  Interior decimal points survive
+    because only the single trailing period is split ("3.5." -> "3.5 .")."""
     if not tok.endswith('.') or len(tok) == 1 or set(tok) == {'.'}:
         return [tok]
     body = tok[:-1]
     if _ABBREV_RE.match(tok) or body.lower() in _ABBREV_WORDS:
         return [tok]
-    if re.match(r'^\d+(\.\d+)*$', body):
-        # "3." -> "3 ."  (a trailing period after a number is sentence-final)
-        return [body, '.']
     return [body, '.']
 
 

@@ -617,3 +617,72 @@ def test_grouped_tf_equals_replicated(model):
                             jnp.repeat(am, spi, 0), 0.0, None, False)
     assert np.allclose(np.asarray(lp_grouped), np.asarray(lp_rep),
                        atol=1e-4), model
+
+
+def test_lazy_cross_exact_under_attention_dropout():
+    """_lazy_cross == materialized cached-K/V cross-attention with the SAME
+    attention-dropout mask: the V bias must be weighted by the dropped
+    probability mass (sum_m p_m), not by 1 (reference
+    cachedTransformer.py:201-242 applies dropout to p and then p @ (mem@Wv
+    + bv)).  Guards the train-mode RL decode path."""
+    from types import SimpleNamespace
+    from captioning_tpu.models import setup
+
+    opt = SimpleNamespace(caption_model='transformer', vocab_size=15,
+                          input_encoding_size=16, rnn_size=32, num_layers=2,
+                          drop_prob_lm=0.5, fc_feat_size=8, att_feat_size=10,
+                          att_hid_size=16, seq_per_img=2, max_length=6,
+                          compute_dtype='float32',
+                          N_enc=2, N_dec=2, d_model=16, d_ff=32,
+                          num_att_heads=4, dropout=0.1)
+    vocab = {str(i): 'w%d' % i for i in range(1, 16)}
+    cap = setup(opt, vocab)
+    variables = cap.init_params(jax.random.PRNGKey(0), att_len=4)
+    module = cap.module
+    D, h, M, nb, bw = 16, 4, 4, 3, 2
+    dk = D // h
+    B = nb * bw
+    rng = np.random.RandomState(0)
+    y = jnp.asarray(rng.randn(B, 1, D), jnp.float32)
+    mem = jnp.asarray(rng.randn(nb, M, D), jnp.float32)
+    am = jnp.asarray((rng.rand(nb, M) > 0.2).astype('float32'))
+    keep = 0.7
+
+    def fixed_drop(p):
+        # deterministic "dropout": zero every 3rd probability, rescale rest
+        m = (jnp.arange(p.size).reshape(p.shape) % 3) != 0
+        return jnp.where(m, p / keep, jnp.zeros_like(p))
+
+    out = module.apply(
+        variables, method=lambda mod: mod._lazy_cross(
+            mod.dec_src[0], y, mem, am, bw, fixed_drop, dropped=True))
+    out = np.asarray(out, np.float32)[:, 0]                   # [B, D]
+
+    # materialized reference: q@(K+bk)^T -> softmax -> drop -> p@(V+bv) -> Wo
+    p_ = jax.device_get(variables['params']['dec_src_0'])
+    q = (np.asarray(y[:, 0]) @ p_['wq']['kernel']) + p_['wq']['bias']
+    k = (np.asarray(mem) @ p_['wk']['kernel']) + p_['wk']['bias']
+    v = (np.asarray(mem) @ p_['wv']['kernel']) + p_['wv']['bias']
+    qh = q.reshape(B, h, dk)
+    kh = k.reshape(nb, M, h, dk)
+    vh = v.reshape(nb, M, h, dk)
+    scores = np.einsum('bhd,bmhd->bhm', qh,
+                       kh[np.repeat(np.arange(nb), bw)]) / np.sqrt(dk)
+    scores = np.where(np.repeat(np.asarray(am), bw, 0)[:, None, :] == 0,
+                      -1e9, scores)
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)                          # [B, h, M]
+    # same mask as fixed_drop: lazy p is [nb, bw*h, M] with (lane, head)
+    # row-major == [B, h, M] row-major, so the iota mask matches elementwise
+    mask = (np.arange(p.size).reshape(p.shape) % 3) != 0
+    p = np.where(mask, p / keep, 0.0)
+    ctx = np.einsum('bhm,bmhd->bhd', p, vh[np.repeat(np.arange(nb), bw)])
+    ref = ctx.reshape(B, D) @ p_['wo']['kernel'] + p_['wo']['bias']
+    assert np.allclose(out, ref, atol=1e-5), np.abs(out - ref).max()
+
+    # and the old formulation (bias weight 1) must NOT match — the test
+    # distinguishes the two
+    out_eval = module.apply(
+        variables, method=lambda mod: mod._lazy_cross(
+            mod.dec_src[0], y, mem, am, bw, fixed_drop, dropped=False))
+    assert not np.allclose(np.asarray(out_eval)[:, 0], ref, atol=1e-5)

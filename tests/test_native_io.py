@@ -119,3 +119,38 @@ def test_direct_api_scan_and_load(tmp_path):
     # trailing-dim mismatch is a hard error, not a silent reshape
     with pytest.raises(RuntimeError):
         native_io.NativeBatchLoader(feat_dim=3, fc_dim=4).scan_rows(paths)
+
+
+def test_npz_without_feat_or_z_member_errors(tmp_path):
+    """An npz with neither 'feat.npy' nor 'z.npy' must error (routing the
+    batch to the Python path, which raises KeyError in _load_npz) — never
+    silently decode an arbitrary first member."""
+    d = tmp_path / 'feats'
+    d.mkdir()
+    p = str(d / 'x.npz')
+    np.savez(p, np.random.RandomState(0).randn(3, 5).astype('float32'))
+    nio = native_io.NativeBatchLoader(feat_dim=5, fc_dim=4)
+    with pytest.raises(RuntimeError, match="neither 'feat.npy' nor 'z.npy'"):
+        nio.scan_rows([p])
+
+
+def test_f8_att_mean_fallback_routes_to_python(tmp_path):
+    """f8 att with a MISSING fc file: the Python path means in f8 before the
+    f32 cast, which the f32-buffer native mean cannot reproduce bit-for-bit,
+    so the native loader must refuse (whole batch falls back)."""
+    d = tmp_path / 'feats'
+    d.mkdir()
+    p = str(d / 'y.npy')
+    np.save(p, np.random.RandomState(0).randn(3, 5).astype('float64'))
+    nio = native_io.NativeBatchLoader(feat_dim=5, fc_dim=4)
+    np.testing.assert_array_equal(nio.scan_rows([p]), [3])
+    with pytest.raises(RuntimeError, match='f4'):
+        nio.load([p], pad_len=4, fc_paths=[str(d / 'missing_fc.npy')])
+    # with fc PRESENT the f8 att path stays native (parity holds: the mean
+    # is never taken)
+    fcp = str(d / 'fc.npy')
+    np.save(fcp, np.random.RandomState(1).randn(4).astype('float32'))
+    att, fc, fc_ok = nio.load([p], pad_len=4, fc_paths=[fcp])
+    assert fc_ok.all()
+    np.testing.assert_array_equal(
+        att[0, :3], np.load(p).astype('float32'))

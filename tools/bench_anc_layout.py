@@ -13,8 +13,9 @@ doesn't take the rest down; pass arg = variant):
   pkdS  : packed [nb, h, dk, S], S = T*bw time-major lanes (105 -> one
           128-lane tile), bw-wide DUS write on the lane dim
   pkdT  : packed [nb, h, S, dk] (S in sublanes), bw-wide DUS on axis -2
-  noW   : attention math only for cur/pkdS (writes removed), to split
-          attend cost from write cost
+Bare variant names time the attention math only (writes removed); the
+W-suffixed forms add the per-step cache write, splitting attend cost
+from write cost.
 
 Usage:  python tools/bench_anc_layout.py {check|cur|pkdS|pkdT|curW|pkdSW|pkdTW}
   check  runs eager correctness of every variant vs cur (CPU ok)
@@ -32,7 +33,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NB, BW, H, T, DK = 1024, 5, 8, 21, 64
+NB, BW, H, DK = 1024, 5, 8, 64
+# ANC_T: cache length (default production 21). ANC_T=11 measures the
+# traffic scaling a two-segment scan (short caches for early steps)
+# could buy.
+T = int(os.environ.get('ANC_T', '21'))
 N = NB * BW
 S = T * BW
 LAYERS = 6
