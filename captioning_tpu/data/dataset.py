@@ -286,7 +286,7 @@ class Dataset:
         if self.use_fc:
             fc_paths = [os.path.join(self.fc_loader.db_path, i + '.npy')
                         for i in ids]
-        att, fc, fc_ok = nio.load(att_paths, pad_len, fc_paths)
+        att, fc, fc_ok = nio.load(att_paths, pad_len, fc_paths, rows)
 
         data: Dict[str, Any] = {}
         data['att_feats'] = att

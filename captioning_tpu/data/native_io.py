@@ -18,7 +18,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import threading
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -59,21 +58,20 @@ def _load_lib():
         _lib_failed = True
         return None
     c_charpp = ctypes.POINTER(ctypes.c_char_p)
-    lib.dataio_scan_keep.restype = ctypes.c_void_p
-    lib.dataio_scan_keep.argtypes = [
+    lib.dataio_scan.restype = ctypes.c_int
+    lib.dataio_scan.argtypes = [
         c_charpp, ctypes.c_int, ctypes.c_longlong,
         np.ctypeslib.ndpointer(np.int64, flags='C'),
         ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
-    lib.dataio_load_cached.restype = ctypes.c_int
-    lib.dataio_load_cached.argtypes = [
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
+    lib.dataio_load.restype = ctypes.c_int
+    lib.dataio_load.argtypes = [
+        c_charpp, ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
         np.ctypeslib.ndpointer(np.float32, flags='C'),
+        ctypes.c_void_p,  # expected_rows (int64*) or None
         c_charpp, ctypes.c_longlong,
         np.ctypeslib.ndpointer(np.float32, flags='C'),
         np.ctypeslib.ndpointer(np.int32, flags='C'),
         ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
-    lib.dataio_ctx_free.restype = None
-    lib.dataio_ctx_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -90,15 +88,19 @@ def _char_array(paths: Sequence[Optional[str]]):
 
 
 class NativeBatchLoader:
-    """Batch att(+fc) feature decode through libdataio.
+    """Batch att(+fc) feature decode through libdataio (stateless — safe to
+    share across the per-split producer threads).
 
-    ``scan_rows(paths)`` -> per-file row counts; the raw file bytes stay
-    cached in a native context so ``load(paths, pad_len, fc_paths)`` ->
-    (att [n, pad, D] f32 zero-padded, fc [n, fc_dim] f32, fc_ok [n] bool)
-    decodes WITHOUT touching the disk again (one read per att file per
-    batch, and scan/load can never disagree on shapes).  Raises
+    ``scan_rows(paths)`` -> per-file row counts (header-only decode);
+    ``load(paths, pad_len, fc_paths, rows)`` -> (att [n, pad, D] f32
+    zero-padded, fc [n, fc_dim] f32, fc_ok [n] bool), verifying each file's
+    row count against the scan's ``rows`` so a dataset rewritten between
+    the phases errors instead of producing an att/mask mismatch.  Raises
     RuntimeError on any decode error — callers fall back to the Python
     path.
+
+    A scan-keeps-the-bytes single-read variant was measured SLOWER on a
+    warm page cache (tools/bench_data.py, see native/dataio.cpp).
     """
 
     def __init__(self, feat_dim: int, fc_dim: int, nthreads: int = 4):
@@ -106,53 +108,36 @@ class NativeBatchLoader:
         self.fc_dim = int(fc_dim)
         self.nthreads = max(1, int(nthreads))
         self._lib = _load_lib()
-        # one loader is shared by all producer threads (one per split);
-        # the scan context is THREAD-LOCAL so a thread's scan -> load pair
-        # never races another thread's (each ctx is created, used and
-        # freed by exactly one thread)
-        self._tls = threading.local()
         if self._lib is None:
             raise RuntimeError('libdataio unavailable')
 
-    def _free_ctx(self):
-        ctx = getattr(self._tls, 'ctx', None)
-        if ctx:
-            self._lib.dataio_ctx_free(ctx)
-        self._tls.ctx = None
-        self._tls.paths = None
-
     def scan_rows(self, paths: List[str]) -> np.ndarray:
-        self._free_ctx()
         n = len(paths)
         rows = np.zeros(n, np.int64)
         err = ctypes.create_string_buffer(512)
-        ctx = self._lib.dataio_scan_keep(
-            _char_array(paths), n, self.feat_dim, rows, self.nthreads,
-            err, len(err))
-        if not ctx:
+        rc = self._lib.dataio_scan(_char_array(paths), n, self.feat_dim,
+                                   rows, self.nthreads, err, len(err))
+        if rc != 0:
             raise RuntimeError('dataio_scan: %s' % err.value.decode())
-        self._tls.ctx = ctx
-        self._tls.paths = list(paths)
         return rows
 
     def load(self, paths: List[str], pad_len: int,
-             fc_paths: Optional[List[Optional[str]]] = None):
-        if (getattr(self._tls, 'ctx', None) is None
-                or self._tls.paths != list(paths)):
-            # no (or stale) scan context for these paths: scan first
-            self.scan_rows(paths)
+             fc_paths: Optional[List[Optional[str]]] = None,
+             rows: Optional[np.ndarray] = None):
         n = len(paths)
         att = np.zeros((n, pad_len, self.feat_dim), np.float32)
         fc = np.zeros((n, max(self.fc_dim, 1)), np.float32)
         fc_ok = np.zeros(n, np.int32)
         err = ctypes.create_string_buffer(512)
         fcp = _char_array(fc_paths if fc_paths is not None else [None] * n)
-        try:
-            rc = self._lib.dataio_load_cached(
-                self._tls.ctx, n, self.feat_dim, pad_len, att,
-                fcp, self.fc_dim, fc, fc_ok, self.nthreads, err, len(err))
-        finally:
-            self._free_ctx()
+        if rows is not None:
+            rows = np.ascontiguousarray(rows, np.int64)
+            rows_ptr = rows.ctypes.data_as(ctypes.c_void_p)
+        else:
+            rows_ptr = None
+        rc = self._lib.dataio_load(
+            _char_array(paths), n, self.feat_dim, pad_len, att, rows_ptr,
+            fcp, self.fc_dim, fc, fc_ok, self.nthreads, err, len(err))
         if rc != 0:
             raise RuntimeError('dataio_load: %s' % err.value.decode())
         return att, fc, fc_ok.astype(bool)

@@ -11,10 +11,9 @@
 // page cache without serializing on the Python interpreter lock.
 //
 // Two-phase protocol (both phases parallel over files):
-//   dataio_scan_keep(paths, ...)    read files ONCE, header row counts,
-//                                   bytes kept in an opaque context
-//   dataio_load_cached(ctx, ...)    decode the cached bytes into pad slots
-//   dataio_ctx_free(ctx)
+//   dataio_scan(paths, n, feat_dim, out_rows, ...)   header-only row counts
+//   dataio_load(paths, n, feat_dim, pad, out, rows, ...)  full decode into
+//                                   slots, verified against the scan rows
 // The Python side sizes the bucketed batch buffer between the phases
 // (captioning_tpu/data/native_io.py).
 //
@@ -272,11 +271,11 @@ bool has_suffix(const char* s, const char* suf) {
   return n >= m && std::memcmp(s + n - m, suf, m) == 0;
 }
 
-// Decode one feature file fully (used for the small fc files; att files go
-// through the cached-context path). On success fills `info` and `raw` with
-// the full little-endian payload (raw.data() + info.data_ofs points at the
-// numbers).
-bool decode_file(const char* path, NpyInfo* info,
+// Decode one feature file. header_only: stop after the npy preamble (for
+// npz-deflate this inflates just enough bytes to cover it).
+// On success fills `info` and, when !header_only, `raw` with the full
+// little-endian payload (raw.data() + info.data_ofs points at the numbers).
+bool decode_file(const char* path, bool header_only, NpyInfo* info,
                  std::vector<uint8_t>& raw, std::string* err) {
   std::vector<uint8_t> file;
   if (!read_file(path, file, err)) return false;
@@ -302,6 +301,28 @@ bool decode_file(const char* path, NpyInfo* info,
   if (method != 8) {
     *err = std::string("zip compression method unsupported: ") + path;
     return false;
+  }
+  if (header_only) {
+    // inflate just the first KB — enough for any sane npy preamble
+    size_t want = rawsz < 1024 ? rawsz : 1024;
+    raw.resize(want);
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) {
+      *err = "inflateInit2 failed";
+      return false;
+    }
+    zs.next_in = const_cast<Bytef*>(payload);
+    zs.avail_in = (uInt)comp;
+    zs.next_out = raw.data();
+    zs.avail_out = (uInt)want;
+    int rc = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (rc != Z_STREAM_END && rc != Z_OK && rc != Z_BUF_ERROR) {
+      *err = std::string("inflate failed: ") + path;
+      return false;
+    }
+    return npy_parse(raw.data(), want - zs.avail_out, info, err);
   }
   raw.resize(rawsz);
   if (!inflate_raw(payload, comp, raw.data(), rawsz, err)) {
@@ -373,105 +394,33 @@ void run_pool(int nthreads, int n, const std::function<void(int)>& body) {
 
 }  // namespace
 
-// Per-item decode plan resolved at scan time from the cached file bytes.
-struct ItemPlan {
-  bool is_npy = false;
-  size_t payload_ofs = 0;  // npz: member payload offset within the file
-  size_t comp = 0, rawsz = 0;
-  int method = 0;          // npz: 0 stored, 8 deflate
-  NpyInfo info;            // npy stream geometry (data_ofs within stream)
-};
-
-// Scan-phase result kept alive between the two phases: the raw file bytes
-// and each item's decode plan. Loading from this cache (a) reads every att
-// file from disk exactly ONCE per batch (the old two-pass protocol read
-// each ~300 KB file twice — once for a ~100-byte header), and (b) makes a
-// scan/load row-count mismatch structurally impossible: both phases see
-// the same bytes.
-struct BatchCtx {
-  std::vector<std::vector<uint8_t>> files;
-  std::vector<ItemPlan> plans;
-};
-
 extern "C" {
 
-// Phase 1: read att_paths fully (parallel), parse headers, keep the bytes.
-// out_rows[i] = row count of att_paths[i] when its trailing dim == feat_dim
-// (reshape(-1, D) semantics, dataset.py:163). Returns an opaque context for
-// dataio_load_cached on success; null + message in err otherwise.
-void* dataio_scan_keep(const char** att_paths, int n, long long feat_dim,
-                       long long* out_rows, int nthreads, char* err,
-                       int errlen) {
-  auto* ctx = new BatchCtx();
-  ctx->files.resize(n);
-  ctx->plans.resize(n);
+// Phase 1: header scan. out_rows[i] = row count of att_paths[i] when its
+// trailing dim == feat_dim (reshape(-1, D) semantics, dataset.py:163).
+// Returns 0 on success; nonzero + message in err otherwise.
+//
+// A single-read variant (scan keeps the file bytes in a context, load
+// decodes from the cache) was measured SLOWER on a warm page cache
+// (3.4-3.7k vs 3.8-4.0k img/s, tools/bench_data.py): holding a batch of
+// ~300 KB buffers across the phase boundary costs more in allocator and
+// cache churn than re-reading cached pages. The two-phase re-read stays;
+// load() instead verifies its row counts against the scan's.
+int dataio_scan(const char** att_paths, int n, long long feat_dim,
+                long long* out_rows, int nthreads, char* err, int errlen) {
   Err e;
   run_pool(nthreads, n, [&](int i) {
     if (e.set.load()) return;
+    NpyInfo info;
+    std::vector<uint8_t> raw;
     std::string msg;
-    std::vector<uint8_t>& file = ctx->files[i];
-    ItemPlan& plan = ctx->plans[i];
-    if (!read_file(att_paths[i], file, &msg)) {
+    if (!decode_file(att_paths[i], true, &info, raw, &msg)) {
       e.record(msg);
       return;
-    }
-    plan.is_npy = has_suffix(att_paths[i], ".npy");
-    if (plan.is_npy) {
-      if (!npy_parse(file.data(), file.size(), &plan.info, &msg)) {
-        e.record(msg + " (" + att_paths[i] + ")");
-        return;
-      }
-    } else {
-      const uint8_t* payload;
-      if (!zip_find_member(file, &payload, &plan.comp, &plan.rawsz,
-                           &plan.method, &msg)) {
-        e.record(msg + " (" + att_paths[i] + ")");
-        return;
-      }
-      plan.payload_ofs = payload - file.data();
-      if (plan.method == 0) {  // stored
-        if (plan.comp != plan.rawsz) {
-          e.record(std::string("zip stored size mismatch: ") + att_paths[i]);
-          return;
-        }
-        if (!npy_parse(payload, plan.rawsz, &plan.info, &msg)) {
-          e.record(msg + " (" + att_paths[i] + ")");
-          return;
-        }
-      } else if (plan.method == 8) {
-        // inflate just the first KB — enough for any sane npy preamble
-        size_t want = plan.rawsz < 1024 ? plan.rawsz : 1024;
-        std::vector<uint8_t> head(want);
-        z_stream zs;
-        std::memset(&zs, 0, sizeof(zs));
-        if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) {
-          e.record("inflateInit2 failed");
-          return;
-        }
-        zs.next_in = const_cast<Bytef*>(payload);
-        zs.avail_in = (uInt)plan.comp;
-        zs.next_out = head.data();
-        zs.avail_out = (uInt)want;
-        int rc = inflate(&zs, Z_FINISH);
-        inflateEnd(&zs);
-        if (rc != Z_STREAM_END && rc != Z_OK && rc != Z_BUF_ERROR) {
-          e.record(std::string("inflate failed: ") + att_paths[i]);
-          return;
-        }
-        if (!npy_parse(head.data(), want - zs.avail_out, &plan.info, &msg)) {
-          e.record(msg + " (" + att_paths[i] + ")");
-          return;
-        }
-      } else {
-        e.record(std::string("zip compression method unsupported: ") +
-                 att_paths[i]);
-        return;
-      }
     }
     // rows follow reshape(-1, shape[-1]) semantics (dataset.py:163): the
     // file's trailing dim must BE the feature dim, else the Python path
     // would produce a different row split — bail to the fallback.
-    const NpyInfo& info = plan.info;
     if (info.last_dim != feat_dim || info.elems % (size_t)feat_dim != 0) {
       e.record(std::string("trailing dim != feat_dim: ") + att_paths[i]);
       return;
@@ -480,54 +429,43 @@ void* dataio_scan_keep(const char** att_paths, int n, long long feat_dim,
   });
   if (e.set.load()) {
     std::snprintf(err, errlen, "%s", e.msg);
-    delete ctx;
-    return nullptr;
-  }
-  return ctx;
-}
-
-// Phase 2: decode item i of the scan context into out_att +
-// i*pad_len*feat_dim (the pad tail is left untouched — the caller hands in
-// a zeroed buffer). fc_paths[i] (may be null/missing -> out_fc_ok[i]=0,
-// caller applies the att-mean fallback, dataset.py:178-183) decodes into
-// out_fc + i*fc_dim. Does NOT free the context (dataio_ctx_free).
-int dataio_load_cached(void* ctx_, int n, long long feat_dim,
-                       long long pad_len, float* out_att,
-                       const char** fc_paths, long long fc_dim, float* out_fc,
-                       int* out_fc_ok, int nthreads, char* err, int errlen) {
-  auto* ctx = (BatchCtx*)ctx_;
-  Err e;
-  if (ctx == nullptr || (int)ctx->files.size() != n) {
-    std::snprintf(err, errlen, "dataio context missing or batch size changed");
     return 1;
   }
+  return 0;
+}
+
+// Phase 2: decode att_paths[i] into out_att + i*pad_len*feat_dim (the pad
+// tail is left untouched — the caller hands in a zeroed buffer).
+// expected_rows (nullable): the scan-phase row counts; a file whose row
+// count CHANGED between the phases (rewritten dataset) is a hard error, not
+// a silent att_masks/att_feats mismatch. fc_paths[i] (may be null/missing
+// -> out_fc_ok[i]=0, caller applies the att-mean fallback,
+// dataset.py:178-183) decodes into out_fc + i*fc_dim.
+int dataio_load(const char** att_paths, int n, long long feat_dim,
+                long long pad_len, float* out_att,
+                const long long* expected_rows, const char** fc_paths,
+                long long fc_dim, float* out_fc, int* out_fc_ok, int nthreads,
+                char* err, int errlen) {
+  Err e;
   run_pool(nthreads, n, [&](int i) {
     if (e.set.load()) return;
-    const std::vector<uint8_t>& file = ctx->files[i];
-    const ItemPlan& plan = ctx->plans[i];
-    const NpyInfo& info = plan.info;
-    size_t rows = info.elems / (size_t)feat_dim;
-    if (rows > (size_t)pad_len) {
-      e.record("pad_len smaller than scanned rows");
+    NpyInfo info;
+    std::vector<uint8_t> raw;
+    std::string msg;
+    if (!decode_file(att_paths[i], false, &info, raw, &msg)) {
+      e.record(msg);
       return;
     }
-    std::string msg;
-    const uint8_t* stream;
-    std::vector<uint8_t> scratch;
-    if (plan.is_npy) {
-      stream = file.data();
-    } else if (plan.method == 0) {
-      stream = file.data() + plan.payload_ofs;
-    } else {
-      scratch.resize(plan.rawsz);
-      if (!inflate_raw(file.data() + plan.payload_ofs, plan.comp,
-                       scratch.data(), plan.rawsz, &msg)) {
-        e.record(msg);
-        return;
-      }
-      stream = scratch.data();
+    size_t rows = info.elems / (size_t)feat_dim;
+    bool rows_ok = expected_rows ? rows == (size_t)expected_rows[i]
+                                 : rows <= (size_t)pad_len;
+    if (info.last_dim != feat_dim || info.elems % (size_t)feat_dim != 0 ||
+        !rows_ok || rows > (size_t)pad_len) {
+      e.record(std::string("attention shape changed between scan and load: ") +
+               att_paths[i]);
+      return;
     }
-    to_f32(stream + info.data_ofs, info.word, info.elems,
+    to_f32(raw.data() + info.data_ofs, info.word, info.elems,
            out_att + (size_t)i * pad_len * feat_dim);
     if (!fc_paths) return;
     if (out_fc_ok) out_fc_ok[i] = 0;
@@ -554,7 +492,7 @@ int dataio_load_cached(void* ctx_, int n, long long feat_dim,
     NpyInfo finfo;
     std::vector<uint8_t> fraw;
     std::string fmsg;
-    if (!decode_file(fc_paths[i], &finfo, fraw, &fmsg)) {
+    if (!decode_file(fc_paths[i], false, &finfo, fraw, &fmsg)) {
       e.record(fmsg);
       return;
     }
@@ -572,7 +510,5 @@ int dataio_load_cached(void* ctx_, int n, long long feat_dim,
   }
   return 0;
 }
-
-void dataio_ctx_free(void* ctx_) { delete (BatchCtx*)ctx_; }
 
 }  // extern "C"
