@@ -84,12 +84,6 @@ def repeat_tree(n: int, tree):
     return jax.tree.map(rep, tree)
 
 
-def gather_tree(tree, idx):
-    """Reorder every leaf's leading dim by idx."""
-    return jax.tree.map(lambda x: None if x is None else jnp.take(x, idx, axis=0),
-                        tree)
-
-
 def reorder_state(tree, idx):
     """Beam-reorder every state leaf's leading dim by idx.
 
@@ -231,9 +225,10 @@ def _bad_endings_mask(prev_it, bad_ix: Sequence[int], vocab_plus: int):
 
 
 def _apply_step_constraints(logprobs, prev_it, t, dm: DecodeModel,
-                            decoding_constraint: int, remove_bad_endings: int,
-                            suppress_unk: bool = False):
-    """decoding_constraint / bad endings / UNK suppression as masks."""
+                            decoding_constraint: int, remove_bad_endings: int):
+    """decoding_constraint / bad-endings masks (the sample path; UNK
+    suppression exists only in beam search, reference AttModel has no
+    suppress_UNK outside add_eval_options' beam flags)."""
     if decoding_constraint:
         pen = jnp.where(t > 0, -jnp.inf, 0.0)
         logprobs = logprobs.at[
@@ -242,8 +237,6 @@ def _apply_step_constraints(logprobs, prev_it, t, dm: DecodeModel,
         was_bad = _bad_endings_mask(prev_it, dm.bad_endings_ix, dm.vocab_plus)
         pen = jnp.where((t > 0) & was_bad, -jnp.inf, 0.0)
         logprobs = logprobs.at[:, 0].add(pen)
-    if suppress_unk and dm.unk_idx is not None:
-        logprobs = logprobs.at[:, dm.unk_idx].add(-1000.0)
     return logprobs
 
 
@@ -254,6 +247,9 @@ def _trigram_penalty(logprobs, seq_buf, t):
     reference has recorded trigrams ending at positions 2..t-1 and blocks
     any w completing (seq[t-2], seq[t-1], w); the mask counts duplicates,
     matching the dict-of-lists accumulation.
+
+    ``t`` may be a scalar (uniform step, the sample path) or a [B] int array
+    of per-row positions (staggered diverse groups).
     """
     B, L = seq_buf.shape
     pos = jnp.arange(L)
@@ -262,16 +258,16 @@ def _trigram_penalty(logprobs, seq_buf, t):
         seq_buf, jnp.maximum(pos - 2, 0)[None].repeat(B, 0), axis=1)
     prefix2 = jnp.take_along_axis(
         seq_buf, jnp.maximum(pos - 1, 0)[None].repeat(B, 0), axis=1)
-    t_arr = jnp.full((B, 1), t, jnp.int32)
+    t_arr = jnp.broadcast_to(jnp.asarray(t, jnp.int32), (B,))[:, None]
     cur1 = jnp.take_along_axis(seq_buf, jnp.maximum(t_arr - 2, 0), axis=1)
     cur2 = jnp.take_along_axis(seq_buf, jnp.maximum(t_arr - 1, 0), axis=1)
-    valid = (pos >= 2) & (pos <= t - 1)
-    match = (prefix1 == cur1) & (prefix2 == cur2) & valid[None]
+    valid = (pos[None] >= 2) & (pos[None] <= t_arr - 1)
+    match = (prefix1 == cur1) & (prefix2 == cur2) & valid
     counts = jnp.zeros_like(logprobs)
     counts = counts.at[jnp.arange(B)[:, None], seq_buf].add(
         match.astype(logprobs.dtype))
     alpha = 2.0
-    return jnp.where(t >= 3, counts * (-0.693 * alpha), 0.0)
+    return jnp.where(t_arr >= 3, counts * (-0.693 * alpha), 0.0)
 
 
 def sample_next_word_dynamic(rng, logprobs, method_id, temperature,
@@ -366,6 +362,14 @@ def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     remove_bad_endings = int(opt.get('remove_bad_endings', 0))
     if dynamic_params is None:
         if beam_size > 1 and sample_method in ('greedy', 'beam_search'):
+            if return_stats:
+                # honor the stats contract on the beam route too: the carried
+                # beam sums ARE the requested reductions, and want_logps=False
+                # also skips the winner-logprob replay the caller doesn't want
+                seq, stats, _ = sample_beam(dm, fc_feats, att_feats,
+                                            att_masks, rng, opt,
+                                            want_logps=False)
+                return seq, stats
             return sample_beam(dm, fc_feats, att_feats, att_masks, rng,
                                opt)[:2]
         if group_size > 1:
@@ -463,6 +467,15 @@ def scan_logprobs(dm: DecodeModel, fc_feats, att_feats, att_masks, gen_seq,
     bit-identical to the sampling pass — gradients through this scan equal
     gradients through the sampling forward itself, which is what the
     reference backprops (loss_wrapper.py:64-72).
+
+    CAVEAT: the bit-exactness claim holds when ``gen_seq`` came from
+    ``sample()``'s scan (the production SCST configs: train_beam_size 1).
+    A BEAM-decoded train pass (train_beam_size > 1) draws its dropout masks
+    over beam-replicated rows inside the beam program; no single-row
+    recompute can reproduce those masks, so under dropout the gradient is
+    taken through a fresh dropout realization of the same sequence — still
+    the reference's REINFORCE estimand, not its exact per-mask gradient
+    (PARITY.md "SCST gradient recompute").
     """
     B = fc_feats.shape[0]
     L = dm.seq_length
@@ -679,9 +692,15 @@ def _beam_search_fast(dm: DecodeModel, init_logprobs, init_state,
         pool_p_c = carry[10]
         max_sums = sums.max(1)                                 # [B]
         worst_pool = pool_p_c.min(1)                           # [B]
+        # future candidates have lengths t+1..L; for the monotone penalties
+        # the max over that interval is at an endpoint, and t+1 is included
+        # explicitly so a length-DECREASING penalty (wu with a negative
+        # traced alpha) still gets a sound bound
         bound = jnp.maximum(
-            length_penalty(jnp.float32(L), max_sums),
-            length_penalty((t + 2).astype(jnp.float32), max_sums))
+            jnp.maximum(
+                length_penalty(jnp.float32(L), max_sums),
+                length_penalty((t + 2).astype(jnp.float32), max_sums)),
+            length_penalty((t + 1).astype(jnp.float32), max_sums))
         return (t < L) & jnp.any(bound > worst_pool)
 
     carry0 = (state, cand, row_sum, ent_row, beam_seq, beam_unaug_cum,
@@ -1067,7 +1086,11 @@ def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     else:
         # group 0's bdash beams (reference :246-250 takes done_beams[k][:n])
         seq = done['seq'][:, 0].reshape(B * sample_n, L)
-        replay_feats = repeat_tree(sample_n, feats)
+        # shared-feats models read one feats row per sample_n block directly
+        # (shape-detected in their step), like sample() at the top of this
+        # file — replicating would multiply the replay's cross-attend traffic
+        replay_feats = (feats if dm.shared_beam_feats
+                        else repeat_tree(sample_n, feats))
         if not want_logps:
             stats = {'ent_sum': done['ent_sum'][:, 0].reshape(B * sample_n),
                      'lp_sum': done['lp_sum'][:, 0].reshape(B * sample_n)}
@@ -1095,6 +1118,7 @@ def diverse_sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     group_size = int(opt.get('group_size', 1))
     diversity_lambda = float(opt.get('diversity_lambda', 0.5))
     decoding_constraint = int(opt.get('decoding_constraint', 0))
+    block_trigrams = int(opt.get('block_trigrams', 0))
     remove_bad_endings = int(opt.get('remove_bad_endings', 0))
 
     B = fc_feats.shape[0]
@@ -1113,7 +1137,9 @@ def diverse_sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     lp_tbl = jnp.zeros((B, G, L), jnp.float32)
     it_tbl = jnp.full((B, G), dm.bos_idx, jnp.int32)
 
-    T_total = L + G
+    # group g is active for t in [g, L+g-1]; the last group finishes at
+    # t = L+G-2, so L+G-1 steps cover every (group, position) pair
+    T_total = L + G - 1
     step_rngs = jax.random.split(rng, T_total * 2).reshape(T_total, 2, -1)
     group_ids = jnp.arange(G)
 
@@ -1157,6 +1183,11 @@ def diverse_sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
         if remove_bad_endings and dm.bad_endings_ix:
             was_bad = _bad_endings_mask(prev_tok, dm.bad_endings_ix, V1)
             lp = lp.at[:, 0].add(jnp.where(has_prev & was_bad, -jnp.inf, 0.0))
+        if block_trigrams:
+            # per-group local times (reference _diverse_sample applies the
+            # same trigram scheme per group, AttModel.py:411-437)
+            t_rows = jnp.broadcast_to(lt[None], (B, G)).reshape(-1)
+            lp = lp + _trigram_penalty(lp, seq_tbl.reshape(B * G, L), t_rows)
 
         it, sample_lp = sample_next_word(rngs[1], lp, sample_method, 1)
         it = it.reshape(B, G)

@@ -135,6 +135,25 @@ class Captioner:
         return (isinstance(self.module, AttCaptioner) and
                 self.cfg.caption_model in self._SHARED_FEATS_RNN)
 
+    def bn_stats_after_prepare(self, variables, fc_feats, att_feats,
+                               att_masks, rng=None):
+        """Updated ``batch_stats`` after one train-mode prepare_feature.
+
+        The RL train steps decode through ``bind(train=True)``, whose
+        functional apply discards the mutated batch_stats collection; this
+        recomputes exactly the update that decode's prepare performed (BN
+        statistics live in the feature embeds and don't depend on dropout),
+        so trainers can thread running statistics through SCST/structure
+        steps the way the reference's stateful model.train() forwards do."""
+        if 'batch_stats' not in variables:
+            return None
+        rngs = {'dropout': rng} if rng is not None else None
+        _, new_vars = self.module.apply(
+            variables, fc_feats, att_feats, att_masks, True,
+            method=type(self.module).prepare_feature, rngs=rngs,
+            mutable=['batch_stats'])
+        return new_vars['batch_stats']
+
     # -- teacher forcing -------------------------------------------------------
     def forward_tf(self, variables, fc_feats, att_feats, seq, att_masks,
                    ss_prob: float = 0.0, rng=None, train: bool = False,

@@ -39,6 +39,13 @@ class Trainer:
                                   optim_utils.build_optimizer(opt))
         self.old_variables = old_variables  # PPO frozen policy
         self._cache: Dict[Any, Any] = {}
+        # whether the struc sample pass emits log-softmaxed outputs
+        # (loss_wrapper.py:31-37 semantics) — shared by the fused, decode
+        # and grad paths so the three can never disagree
+        self.struc_out_ls = int(
+            getattr(opt, 'struc_use_logsoftmax', False) or
+            getattr(opt, 'structure_loss_type', '') == 'softmax_margin' or
+            'margin' not in getattr(opt, 'structure_loss_type', ''))
 
     # -- plumbing -----------------------------------------------------------
     def init_opt_state(self, variables):
@@ -160,6 +167,13 @@ class Trainer:
                      lr, rng):
                 loss, grads = jax.value_and_grad(loss_fn)(
                     variables, fc, att, am, gen_seq, reward, rng)
+                # thread BN running stats (use_bn) exactly as the decode's
+                # train-mode prepare updated them — the functional decode
+                # discards its mutated collection (reference model.train()
+                # forwards keep updating BN stats during RL)
+                if 'batch_stats' in variables:
+                    variables = dict(variables, batch_stats=jax.lax.stop_gradient(
+                        cap.bn_stats_after_prepare(variables, fc, att, am, rng)))
                 variables, opt_state = self._apply_updates(
                     variables, opt_state, grads['params'], lr)
                 return variables, opt_state, {'loss': loss}
@@ -217,6 +231,14 @@ class Trainer:
                     loss_fn, has_aux=True)(
                     variables, fc, att, am, refs, ref_mask, rng_greedy,
                     rng_sample)
+                # thread BN running stats (use_bn) exactly as the decode's
+                # train-mode prepare updated them — the functional decode
+                # discards its mutated collection (reference model.train()
+                # forwards keep updating BN stats during RL)
+                if 'batch_stats' in variables:
+                    variables = dict(variables, batch_stats=jax.lax.stop_gradient(
+                        cap.bn_stats_after_prepare(variables, fc, att, am,
+                                                   rng_sample)))
                 variables, opt_state = self._apply_updates(
                     variables, opt_state, grads['params'], lr)
                 return variables, opt_state, {'loss': loss,
@@ -241,9 +263,7 @@ class Trainer:
             w = float(opt.structure_loss_weight)
             sample_n = int(opt.train_sample_n)
             use_ppo = int(getattr(opt, 'use_ppo', 0))
-            out_ls = int(getattr(opt, 'struc_use_logsoftmax', False) or
-                         opt.structure_loss_type == 'softmax_margin' or
-                         'margin' not in opt.structure_loss_type)
+            out_ls = self.struc_out_ls
             tr_opt = {'sample_method': opt.train_sample_method,
                       'beam_size': opt.train_beam_size,
                       'output_logsoftmax': out_ls,
@@ -254,7 +274,6 @@ class Trainer:
 
             def loss_fn(variables, fc, att, labels, masks, am, refs,
                         ref_mask, rng, rng_lm):
-                out = {}
                 if w < 1:
                     logprobs = cap.forward_tf(variables, fc, att,
                                               labels[..., :-1], am, 0.0,
@@ -297,6 +316,14 @@ class Trainer:
                     loss_fn, has_aux=True)(
                     variables, fc, att, labels, masks, am, refs, ref_mask,
                     rng, rng_lm)
+                # thread BN running stats (use_bn) exactly as the decode's
+                # train-mode prepare updated them — the functional decode
+                # discards its mutated collection (reference model.train()
+                # forwards keep updating BN stats during RL)
+                if 'batch_stats' in variables:
+                    variables = dict(variables, batch_stats=jax.lax.stop_gradient(
+                        cap.bn_stats_after_prepare(variables, fc, att, am,
+                                                   rng)))
                 variables, opt_state = self._apply_updates(
                     variables, opt_state, grads['params'], lr)
                 aux['loss'] = loss
@@ -314,9 +341,7 @@ class Trainer:
         key = 'struc_decode'
         if key not in self._cache:
             cap = self.captioner
-            out_ls = int(getattr(opt, 'struc_use_logsoftmax', False) or
-                         opt.structure_loss_type == 'softmax_margin' or
-                         'margin' not in opt.structure_loss_type)
+            out_ls = self.struc_out_ls
             tr_opt = {'sample_method': opt.train_sample_method,
                       'beam_size': opt.train_beam_size,
                       'output_logsoftmax': out_ls,
@@ -344,9 +369,7 @@ class Trainer:
             w = float(opt.structure_loss_weight)
             sample_n = int(opt.train_sample_n)
             use_ppo = int(getattr(opt, 'use_ppo', 0))
-            out_ls = int(getattr(opt, 'struc_use_logsoftmax', False) or
-                         opt.structure_loss_type == 'softmax_margin' or
-                         'margin' not in opt.structure_loss_type)
+            out_ls = self.struc_out_ls
             drop_worst_rate = float(getattr(opt, 'drop_worst_rate', 0))
             reduction = 'none' if drop_worst_flag else 'mean'
             old_variables = self.old_variables
@@ -407,6 +430,14 @@ class Trainer:
                     loss_fn, has_aux=True)(
                     variables, fc, att, labels, masks, am, gen_seq, scores,
                     self_cider_scores, rng, rng_lm)
+                # thread BN running stats (use_bn) exactly as the decode's
+                # train-mode prepare updated them — the functional decode
+                # discards its mutated collection (reference model.train()
+                # forwards keep updating BN stats during RL)
+                if 'batch_stats' in variables:
+                    variables = dict(variables, batch_stats=jax.lax.stop_gradient(
+                        cap.bn_stats_after_prepare(variables, fc, att, am,
+                                                   rng)))
                 variables, opt_state = self._apply_updates(
                     variables, opt_state, grads['params'], lr)
                 out['loss'] = loss

@@ -686,3 +686,42 @@ def test_lazy_cross_exact_under_attention_dropout():
         variables, method=lambda mod: mod._lazy_cross(
             mod.dec_src[0], y, mem, am, bw, fixed_drop, dropped=False))
     assert not np.allclose(np.asarray(out_eval)[:, 0], ref, atol=1e-5)
+
+
+def test_diverse_sample_block_trigrams():
+    """_diverse_sample supports block_trigrams (reference AttModel.py:
+    411-437 applies the trigram scheme per group at its local time)."""
+    dm, table, W = make_mock_model(seed=3)
+    fc = np.zeros((2, 4), np.float32)
+    opt = {'sample_method': 'greedy', 'group_size': 2,
+           'diversity_lambda': 0.0}
+    s_plain, _ = decoding.diverse_sample(dm, jnp.asarray(fc), None, None,
+                                         jax.random.PRNGKey(0), opt)
+    s_block, _ = decoding.diverse_sample(dm, jnp.asarray(fc), None, None,
+                                         jax.random.PRNGKey(0),
+                                         dict(opt, block_trigrams=1))
+
+    def n_repeated_trigrams(row):
+        tris = [tuple(row[i:i + 3]) for i in range(len(row) - 2)]
+        return len(tris) - len(set(tris))
+
+    plain = sum(n_repeated_trigrams(list(r)) for r in np.asarray(s_plain))
+    blocked = sum(n_repeated_trigrams(list(r)) for r in np.asarray(s_block))
+    assert blocked <= plain
+
+
+def test_sample_return_stats_on_beam_route():
+    """sample(return_stats=True) with beam_size>1 must honor the stats
+    contract (carried ent/lp sums), not return the replay logprob table."""
+    dm, table, W = make_mock_model(seed=5)
+    fc = np.random.RandomState(4).randn(3, 4).astype('float32')
+    opt = {'sample_method': 'greedy', 'beam_size': 3, 'group_size': 1,
+           'sample_n': 1, 'suppress_UNK': 0}
+    seq, stats = decoding.sample(dm, jnp.asarray(fc), None, None,
+                                 jax.random.PRNGKey(0), opt,
+                                 return_stats=True)
+    assert isinstance(stats, dict) and 'ent_sum' in stats and 'lp_sum' in stats
+    assert stats['ent_sum'].shape == (3,)
+    seq_ref, _, _ = decoding.sample_beam(dm, jnp.asarray(fc), None, None,
+                                         jax.random.PRNGKey(0), opt)
+    assert (np.asarray(seq) == np.asarray(seq_ref)).all()

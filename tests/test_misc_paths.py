@@ -283,3 +283,41 @@ def test_honor_jax_platforms_env():
         else:
             os.environ['JAX_PLATFORMS'] = prev_env
         jax.config.update('jax_platforms', before)
+
+
+@pytest.mark.slow  # heavy compile: see pytest.ini
+def test_batchnorm_stats_update_in_rl_steps():
+    """use_bn running statistics must also accumulate during SCST training
+    (the reference's model.train() sampling forward updates them,
+    loss_wrapper.py:64-68) — the jitted RL steps thread the decode's
+    discarded batch_stats mutation back into variables."""
+    from types import SimpleNamespace
+    from captioning_tpu.models import setup
+    from captioning_tpu.modules.trainer import Trainer
+    opt = SimpleNamespace(
+        caption_model='att2in2', vocab_size=15, input_encoding_size=12,
+        rnn_size=16, num_layers=1, drop_prob_lm=0.5, fc_feat_size=8,
+        att_feat_size=10, att_hid_size=8, seq_per_img=2, max_length=6,
+        compute_dtype='float32', use_bn=2,
+        optim='adam', optim_alpha=0.9, optim_beta=0.999, optim_epsilon=1e-8,
+        weight_decay=0, grad_clip_mode='value', grad_clip_value=0.1,
+        label_smoothing=0, noamopt=False, drop_worst_rate=0,
+        sc_sample_method='greedy', sc_beam_size=1,
+        train_sample_method='sample', train_beam_size=1, train_sample_n=2)
+    vocab = {str(i): 'w%d' % i for i in range(1, 16)}
+    cap = setup(opt, vocab)
+    variables = cap.init_params(jax.random.PRNGKey(0), att_len=4)
+    before = jax.tree.leaves(jax.device_get(variables['batch_stats']))
+    tr = Trainer(cap, opt)
+    os_ = tr.init_opt_state(variables)
+    B = 3
+    fc = jnp.ones((B, 8))
+    att = jnp.asarray(np.random.RandomState(0).randn(B, 4, 10), jnp.float32)
+    am = jnp.ones((B, 4))
+    _, gen_seq = tr.sc_decode(variables, fc, att, am,
+                              jax.random.PRNGKey(1), jax.random.PRNGKey(2))
+    reward = jnp.ones((B * 2, gen_seq.shape[1]), jnp.float32)
+    v2, _, _ = tr.sc_grad_step(variables, os_, fc, att, am, gen_seq,
+                               reward, 1e-3, jax.random.PRNGKey(2))
+    after = jax.tree.leaves(jax.device_get(v2['batch_stats']))
+    assert any(not np.allclose(a, b) for a, b in zip(before, after))
