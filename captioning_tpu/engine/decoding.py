@@ -123,6 +123,20 @@ def _where_tree(mask_flat, new_tree, old_tree):
     return jax.tree.map(sel, new_tree, old_tree)
 
 
+def prep_rng_for_sample(rng, opt: Dict[str, Any]):
+    """The prepare-rng ``sample()``/``sample_beam()`` derive from ``rng``.
+
+    Callers that re-run prepare_feature to recover its discarded mutable
+    state (trainer.bn_stats_after_prepare threading) must use the SAME
+    derived key so dropout-dependent statistics (use_bn=2 normalizes the
+    post-dropout embed output) match the decode pass bit-for-bit."""
+    beam = (int(opt.get('beam_size', 1)) > 1 and
+            opt.get('sample_method', 'greedy') in ('greedy', 'beam_search'))
+    if beam:
+        return jax.random.split(rng, 4)[1]
+    return jax.random.split(rng)[1]
+
+
 def penalty_fn(length_penalty: str):
     """jnp version of misc.penalty_builder (reference misc.py:133-157).
 

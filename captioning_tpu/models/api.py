@@ -35,6 +35,10 @@ class Captioner:
         self.cfg = cfg
         self.vocab = vocab
         self.bad_endings_ix, self.unk_idx = _vocab_indices(vocab, cfg.vocab_size)
+        if self.unk_idx is None and cfg.unk_idx is not None:
+            # vocab-less construction (benches, programmatic use): honor an
+            # explicit cfg.unk_idx so suppress_UNK doesn't silently no-op
+            self.unk_idx = cfg.unk_idx
         if cfg.caption_model == 'transformer':
             self.module = TransformerCaptioner(cfg)
         elif cfg.caption_model == 'aoa':
@@ -136,21 +140,22 @@ class Captioner:
                 self.cfg.caption_model in self._SHARED_FEATS_RNN)
 
     def bn_stats_after_prepare(self, variables, fc_feats, att_feats,
-                               att_masks, rng=None):
+                               att_masks, rng):
         """Updated ``batch_stats`` after one train-mode prepare_feature.
 
         The RL train steps decode through ``bind(train=True)``, whose
         functional apply discards the mutated batch_stats collection; this
-        recomputes exactly the update that decode's prepare performed (BN
-        statistics live in the feature embeds and don't depend on dropout),
-        so trainers can thread running statistics through SCST/structure
-        steps the way the reference's stateful model.train() forwards do."""
+        recomputes the update that decode's prepare performed so trainers
+        can thread running statistics through SCST/structure steps the way
+        the reference's stateful model.train() forwards do.  ``rng`` must be
+        the decode's own prepare rng (``decoding.prep_rng_for_sample``):
+        use_bn=2 normalizes the post-dropout embed output, so the statistics
+        depend on the dropout mask."""
         if 'batch_stats' not in variables:
             return None
-        rngs = {'dropout': rng} if rng is not None else None
         _, new_vars = self.module.apply(
             variables, fc_feats, att_feats, att_masks, True,
-            method=type(self.module).prepare_feature, rngs=rngs,
+            method=type(self.module).prepare_feature, rngs={'dropout': rng},
             mutable=['batch_stats'])
         return new_vars['batch_stats']
 

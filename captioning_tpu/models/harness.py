@@ -604,11 +604,13 @@ class AttCaptioner(nn.Module):
             x = self._dropout(x, self.cfg.drop_prob_lm, train)
         return x
 
-    def apply_logit(self, h):
+    def apply_logit(self, h, train: bool = False):
+        # reference builds Linear->ReLU->Dropout(0.5) per hidden logit layer
+        # (AttModel.py:86-92); the dropout fires in train mode
         x = h
         for lin in self.logit_hidden:
             x = nn.relu(lin(x))
-            x = self._dropout(x, 0.5, False)
+            x = self._dropout(x, 0.5, train)
         return self.logit(x)
 
     # -- public protocol ---------------------------------------------------
@@ -668,7 +670,7 @@ class AttCaptioner(nn.Module):
                                                     axis=0))
         xt = self.embed_word(it, train)
         output, state = self.core(xt, feats, state, train)
-        logits = self.apply_logit(output)
+        logits = self.apply_logit(output, train)
         state = dict(state, t=state['t'] + 1)
         if logsoftmax:
             return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), state

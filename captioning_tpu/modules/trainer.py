@@ -152,6 +152,10 @@ class Trainer:
             cap = self.captioner
             sample_n = int(opt.train_sample_n)
             drop_worst_rate = float(getattr(opt, 'drop_worst_rate', 0))
+            # the decode that produced gen_seq (sc_decode's train pass);
+            # only used to derive its prepare rng for the BN-stats refresh
+            tr_opt = {'sample_method': opt.train_sample_method,
+                      'beam_size': opt.train_beam_size}
 
             def loss_fn(variables, fc, att, am, gen_seq, reward, rng):
                 dm = cap.bind(variables, train=True)
@@ -173,7 +177,9 @@ class Trainer:
                 # forwards keep updating BN stats during RL)
                 if 'batch_stats' in variables:
                     variables = dict(variables, batch_stats=jax.lax.stop_gradient(
-                        cap.bn_stats_after_prepare(variables, fc, att, am, rng)))
+                        cap.bn_stats_after_prepare(
+                            variables, fc, att, am,
+                            decoding.prep_rng_for_sample(rng, tr_opt))))
                 variables, opt_state = self._apply_updates(
                     variables, opt_state, grads['params'], lr)
                 return variables, opt_state, {'loss': loss}
@@ -237,8 +243,10 @@ class Trainer:
                 # forwards keep updating BN stats during RL)
                 if 'batch_stats' in variables:
                     variables = dict(variables, batch_stats=jax.lax.stop_gradient(
-                        cap.bn_stats_after_prepare(variables, fc, att, am,
-                                                   rng_sample)))
+                        cap.bn_stats_after_prepare(
+                            variables, fc, att, am,
+                            decoding.prep_rng_for_sample(rng_sample,
+                                                         tr_opt))))
                 variables, opt_state = self._apply_updates(
                     variables, opt_state, grads['params'], lr)
                 return variables, opt_state, {'loss': loss,
@@ -322,8 +330,9 @@ class Trainer:
                 # forwards keep updating BN stats during RL)
                 if 'batch_stats' in variables:
                     variables = dict(variables, batch_stats=jax.lax.stop_gradient(
-                        cap.bn_stats_after_prepare(variables, fc, att, am,
-                                                   rng)))
+                        cap.bn_stats_after_prepare(
+                            variables, fc, att, am,
+                            decoding.prep_rng_for_sample(rng, tr_opt))))
                 variables, opt_state = self._apply_updates(
                     variables, opt_state, grads['params'], lr)
                 aux['loss'] = loss
@@ -373,6 +382,10 @@ class Trainer:
             drop_worst_rate = float(getattr(opt, 'drop_worst_rate', 0))
             reduction = 'none' if drop_worst_flag else 'mean'
             old_variables = self.old_variables
+            # the decode that produced gen_seq (struc_decode's sample pass);
+            # only used to derive its prepare rng for the BN-stats refresh
+            tr_opt = {'sample_method': opt.train_sample_method,
+                      'beam_size': opt.train_beam_size}
 
             def loss_fn(variables, fc, att, labels, masks, am, gen_seq,
                         scores, self_cider_scores, rng, rng_lm):
@@ -436,8 +449,9 @@ class Trainer:
                 # forwards keep updating BN stats during RL)
                 if 'batch_stats' in variables:
                     variables = dict(variables, batch_stats=jax.lax.stop_gradient(
-                        cap.bn_stats_after_prepare(variables, fc, att, am,
-                                                   rng)))
+                        cap.bn_stats_after_prepare(
+                            variables, fc, att, am,
+                            decoding.prep_rng_for_sample(rng, tr_opt))))
                 variables, opt_state = self._apply_updates(
                     variables, opt_state, grads['params'], lr)
                 out['loss'] = loss

@@ -160,6 +160,7 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
     eval_kwargs = eval_kwargs or {}
     verbose = eval_kwargs.get('verbose', True)
     verbose_loss = eval_kwargs.get('verbose_loss', 1)
+    verbose_beam = eval_kwargs.get('verbose_beam', 0)
     num_images = eval_kwargs.get('num_images',
                                  eval_kwargs.get('val_images_use', -1))
     split = eval_kwargs.get('split', 'val')
@@ -201,9 +202,8 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
                 reps = jnp.repeat(x[:1], pad, axis=0)
                 return jnp.concatenate([x, reps], axis=0)
             fc, att, am = _pad(fc), _pad(att), _pad(am)
-        fc, att, am = (shard_batch({'fc': fc, 'att': att, 'am': am}, mesh)[k]
-                       for k in ('fc', 'att', 'am'))
-        return fc, att, am, real
+        sharded = shard_batch({'fc': fc, 'att': att, 'am': am}, mesh)
+        return sharded['fc'], sharded['att'], sharded['am'], real
 
     sample_opt = {k: eval_kwargs.get(k) for k in
                   ('sample_method', 'beam_size', 'temperature', 'group_size',
@@ -264,6 +264,14 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
                 want_logps=False)
             seq, entropy, perplexity = _stats_from_sums(
                 seq, stats, real_rows)
+            if verbose_beam:
+                # print every finished beam per image (reference
+                # eval_utils.py:178-181)
+                beams = np.asarray(_done['seq'])[:real_rows]
+                for i in range(beams.shape[0]):
+                    flat = beams[i].reshape(-1, beams.shape[-1])
+                    print('\n'.join(utils.decode_sequence(vocab, flat)))
+                    print('--' * 10)
         elif (stats_out := getattr(captioner, 'sample_stats_jit',
                                    lambda *a: None)(
                 variables, fc_d, att_d, am_d, step_rng,
@@ -297,9 +305,15 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
                 # logprob per step [N, L]; the reference crashes here
                 # (eval_utils.py:173 does .sum(2) on a 2-D tensor) — degrade
                 # gracefully instead: perplexity from the sampled logprobs,
-                # entropy unavailable
+                # entropy unavailable.  Keep the EOS step's logprob like
+                # every other path: a step counts while no EARLIER token
+                # ended the row (prefix-keep, as in scan_logprobs)
+                keep = np.concatenate(
+                    [np.ones((seq.shape[0], 1), bool),
+                     np.cumprod(seq[:, :-1] > 0, axis=1).astype(bool)],
+                    axis=1)
                 entropy = np.zeros(lp.shape[0], lp.dtype)
-                perplexity = -np.where(seq > 0, lp, 0.0).sum(1) / denom
+                perplexity = -np.where(keep, lp, 0.0).sum(1) / denom
 
         sents = utils.decode_sequence(vocab, seq)
 
@@ -346,8 +360,7 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
 
     # multi-host: gather per-process predictions on every host (replaces
     # the reference's d2comm.gather, train_pl.py:224-276)
-    import jax as _jax
-    if _jax.process_count() > 1:
+    if jax.process_count() > 1:
         from ..parallel.mesh import gather_predictions
         predictions = gather_predictions(predictions)
         n_predictions = gather_predictions(n_predictions)

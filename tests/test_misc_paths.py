@@ -321,3 +321,37 @@ def test_batchnorm_stats_update_in_rl_steps():
                                reward, 1e-3, jax.random.PRNGKey(2))
     after = jax.tree.leaves(jax.device_get(v2['batch_stats']))
     assert any(not np.allclose(a, b) for a, b in zip(before, after))
+
+
+def test_logit_hidden_dropout_fires_in_train_mode():
+    """--logit_layers > 1 inserts Dropout(0.5) between logit hidden layers
+    (reference AttModel.py:86-92); it must fire in train mode and be a
+    no-op at eval."""
+    from types import SimpleNamespace
+    from captioning_tpu.models import setup
+    opt = SimpleNamespace(
+        caption_model='att2in2', vocab_size=15, input_encoding_size=12,
+        rnn_size=16, num_layers=1, drop_prob_lm=0.0, fc_feat_size=8,
+        att_feat_size=10, att_hid_size=8, seq_per_img=2, max_length=6,
+        compute_dtype='float32', logit_layers=2)
+    vocab = {str(i): 'w%d' % i for i in range(1, 16)}
+    cap = setup(opt, vocab)
+    variables = cap.init_params(jax.random.PRNGKey(0), att_len=4)
+    B = 2
+    fc = jnp.ones((B, 8))
+    att = jnp.ones((B, 4, 10))
+    am = jnp.ones((B, 4))
+    it = jnp.zeros((B,), jnp.int32)
+
+    def step_lp(train, rng):
+        dm = cap.bind(variables, train=train)
+        feats = dm.prepare(fc, att, am, rng)
+        lp, _ = dm.step(it, feats, dm.init_state(B), rng)
+        return np.asarray(lp)
+
+    e1 = step_lp(False, None)
+    e2 = step_lp(False, None)
+    np.testing.assert_array_equal(e1, e2)  # eval: deterministic
+    t1 = step_lp(True, jax.random.PRNGKey(1))
+    t2 = step_lp(True, jax.random.PRNGKey(2))
+    assert not np.allclose(t1, t2)  # train: dropout mask varies with rng
