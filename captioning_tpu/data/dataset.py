@@ -391,8 +391,12 @@ class _SplitPipeline:
         self._stop = threading.Event()
         self._epoch_end = object()
         self._thread: Optional[threading.Thread] = None
-        self._lock = threading.Lock()
         self._error: Optional[BaseException] = None
+        # sampler state BEFORE the producer draws anything: the resume value
+        # until a batch is consumed (the producer prefetches concurrently,
+        # so reading sampler.state_dict() after _start_thread would capture
+        # a mid-epoch position and a resumed run would skip images)
+        self.initial_state = sampler.state_dict()
         self._start_thread()
 
     def _start_thread(self):
@@ -465,7 +469,15 @@ class _SplitPipeline:
                     raise RuntimeError(
                         'data producer thread failed for split %r'
                         % self.split) from self._error
-                if self._thread is not None and not self._thread.is_alive():
+                if not self.sampler.wrap:
+                    # the non-wrap producer ALWAYS returns right after its
+                    # epoch_end put, so restart deterministically (an
+                    # is_alive() check can observe the thread between the
+                    # put and its return and hang this consumer forever)
+                    if len(self.sampler) == 0:
+                        raise ValueError('split %r has no images'
+                                         % self.split)
+                    self._thread.join()
                     self._start_thread()
                 continue
             return item
@@ -473,7 +485,17 @@ class _SplitPipeline:
     def reset(self, sampler_state=None):
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=5)
+            # wait until the producer actually exits — a timed-out join
+            # would leave a zombie producer racing the new thread on the
+            # same sampler and enqueueing stale pre-reset batches.  Drain
+            # while waiting so a producer blocked in put() sees _stop.
+            while self._thread.is_alive():
+                self._thread.join(timeout=0.5)
+                try:
+                    while True:
+                        self._queue.get_nowait()
+                except queue.Empty:
+                    pass
         # drain queue
         try:
             while True:
@@ -485,6 +507,7 @@ class _SplitPipeline:
         else:
             self.sampler._reset_iter()
         self._error = None
+        self.initial_state = self.sampler.state_dict()
         self._start_thread()
 
 
@@ -509,7 +532,7 @@ class DataLoader:
                                 seed=seed + len(split))
             self.pipelines[split] = _SplitPipeline(
                 self.dataset, sampler, split, self.batch_size, self._pool, depth)
-            self._last_state[split] = sampler.state_dict()
+            self._last_state[split] = self.pipelines[split].initial_state
 
     def get_batch(self, split):
         batch = self.pipelines[split].get_batch()
@@ -518,7 +541,7 @@ class DataLoader:
 
     def reset_iterator(self, split):
         self.pipelines[split].reset()
-        self._last_state[split] = self.pipelines[split].sampler.state_dict()
+        self._last_state[split] = self.pipelines[split].initial_state
 
     def get_vocab_size(self):
         return self.dataset.get_vocab_size()

@@ -68,8 +68,12 @@ class HybridLoader:
     def get(self, key: str) -> np.ndarray:
         if self.in_memory:
             with self._cache_lock:
-                if key in self.features:
-                    return self.loader(self.features[key])
+                cached = self.features.get(key)
+            if cached is not None:
+                # decode OUTSIDE the lock: the npy/npz parse + inflate is
+                # the dominant per-item cost, and serializing it through
+                # the cache lock would single-thread the whole pipeline
+                return self.loader(cached)
 
         if self.db_type == 'lmdb':
             with self._env.begin(write=False) as txn:

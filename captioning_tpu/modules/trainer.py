@@ -293,10 +293,8 @@ class Trainer:
                 dm = cap.bind(variables, train=True)
                 gen_seq, gen_lp = decoding.sample(dm, fc, att, am, rng,
                                                   tr_opt)
-                refs_exp = jnp.repeat(refs, sample_n, axis=0)
-                mask_exp = jnp.repeat(ref_mask, sample_n, axis=0)
-                scores = device_scorer.score(gen_seq, refs_exp,
-                                             mask_exp) * cider_w
+                scores = device_scorer.score_grouped(
+                    gen_seq, refs, ref_mask, sample_n) * cider_w
                 scores = jax.lax.stop_gradient(scores.astype(jnp.float32))
                 if use_ppo:
                     dm_old = cap.bind(old_variables, train=False)

@@ -192,20 +192,59 @@ class DeviceCiderD:
         n_refs = jnp.maximum(ref_mask.sum(-1), 1.0)
         return per_ref.sum(-1) / n_refs
 
+    def _mean_score_grouped(self, c_stats, r_stats, ref_mask):
+        """cand stats [B, k, ...] x ref stats [B, R, ...] -> [B, k]."""
+        c_exp = jax.tree.map(lambda x: x[:, :, None], c_stats)
+        r_exp = jax.tree.map(lambda x: x[:, None], r_stats)
+        per_ref = self.pair_scores(c_exp, r_exp)          # [B, k, R]
+        per_ref = per_ref * ref_mask[:, None]
+        n_refs = jnp.maximum(ref_mask.sum(-1), 1.0)[:, None]
+        return per_ref.sum(-1) / n_refs
+
+    def score_grouped(self, cands, refs, ref_mask, n: int):
+        """cands [B*n, L]; refs [B, R, Lr]; ref_mask [B, R] -> scores [B*n].
+
+        Same result as ``score(cands, repeat(refs, n), repeat(mask, n))``
+        but the reference sentence_stats (the pairwise-equality count tensor
+        + the idf table probe, the dominant scorer cost) are computed ONCE
+        per image instead of once per candidate row.
+        """
+        B, R, Lr = refs.shape
+        r_stats = jax.tree.map(
+            lambda x: x.reshape((B, R) + x.shape[1:]),
+            self.sentence_stats(refs.reshape(B * R, Lr)))
+        c_stats = jax.tree.map(
+            lambda x: x.reshape((B, n) + x.shape[1:]),
+            self.sentence_stats(cands))
+        return self._mean_score_grouped(c_stats, r_stats,
+                                        ref_mask).reshape(B * n)
+
     def self_critical_reward(self, greedy, gen, refs, ref_mask,
                              cider_weight: float = 1.0):
         """get_self_critical_reward (reference rewards.py:41-81), fully on
         device.  greedy [B, L]; gen [B*n, L]; refs [B, R, Lr];
-        ref_mask [B, R] -> rewards [B*n, L]."""
+        ref_mask [B, R] -> rewards [B*n, L].
+
+        Reference sentence stats are computed once and shared by the n
+        samples AND the greedy baseline (the repeat-then-score formulation
+        re-derived them n+1 times inside the fused SCST program)."""
         B = greedy.shape[0]
         N = gen.shape[0]
         n = N // B
-        refs_gen = jnp.repeat(refs, n, axis=0)
-        mask_gen = jnp.repeat(ref_mask, n, axis=0)
-        s_gen = self.score(gen, refs_gen, mask_gen) * cider_weight
-        s_greedy = self.score(greedy, refs, ref_mask) * cider_weight
-        adv = s_gen.reshape(B, n) - s_greedy[:, None]
-        adv = adv.reshape(N)
+        R, Lr = refs.shape[1], refs.shape[2]
+        r_stats = jax.tree.map(
+            lambda x: x.reshape((B, R) + x.shape[1:]),
+            self.sentence_stats(refs.reshape(B * R, Lr)))
+        g_stats = jax.tree.map(
+            lambda x: x.reshape((B, n) + x.shape[1:]),
+            self.sentence_stats(gen))
+        gr_stats = jax.tree.map(lambda x: x[:, None],
+                                self.sentence_stats(greedy))
+        s_gen = self._mean_score_grouped(g_stats, r_stats,
+                                         ref_mask) * cider_weight  # [B, n]
+        s_greedy = self._mean_score_grouped(
+            gr_stats, r_stats, ref_mask)[:, 0] * cider_weight      # [B]
+        adv = (s_gen - s_greedy[:, None]).reshape(N)
         return jnp.repeat(adv[:, None], gen.shape[1], axis=1)
 
 

@@ -95,3 +95,27 @@ def test_hybrid_loader_h5_and_dir(ds, tmp_path):
     a = hl3.get('1000')
     b = hl3.get('1000')
     assert np.allclose(a, b)
+
+
+def test_initial_loader_state_not_advanced_by_prefetch(ds):
+    """The state saved BEFORE any batch is consumed must be the fresh
+    sampler state: the background producer prefetches immediately, and a
+    snapshot taken after it started would record a mid-epoch position —
+    a checkpoint saved before the first eval would then resume the val
+    split a few batches in, silently evaluating the wrong images."""
+    from captioning_tpu.data.dataset import DataLoader
+    loader = DataLoader(make_opt(ds))
+    st = loader.state_dict()
+    for split in ('train', 'val', 'test'):
+        assert st[split]['iter_counter'] == 0, split
+    # reset_iterator restores a fresh pre-consumption state too
+    loader.get_batch('val')
+    assert loader.state_dict()['val']['iter_counter'] > 0
+    loader.reset_iterator('val')
+    assert loader.state_dict()['val']['iter_counter'] == 0
+    # and the restored state round-trips through a new loader: both see
+    # the same first val batch
+    ids_a = [i['id'] for i in loader.get_batch('val')['infos']]
+    fresh = DataLoader(make_opt(ds))
+    ids_b = [i['id'] for i in fresh.get_batch('val')['infos']]
+    assert ids_a == ids_b
