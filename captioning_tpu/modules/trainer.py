@@ -425,6 +425,10 @@ class Trainer:
                     out.update({k: v for k, v in struc.items() if k != 'loss'})
                 else:
                     struc_loss = jnp.float32(0)
+                    # structure_loss_weight 0 is a supported config (pure XE
+                    # through the struc path); the metrics consumer reads
+                    # out['reward'] unconditionally on struc iterations
+                    out['reward'] = scores.reshape(-1, sample_n)
                 loss = (1 - w) * lm_loss + w * struc_loss
                 if drop_worst_flag:
                     loss = self._drop_worst(loss, drop_worst_rate)

@@ -9,7 +9,26 @@ a traced ``lr`` scalar — one compiled graph across all schedules.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+def _torch_adagrad(eps: float = 1e-10) -> optax.GradientTransformation:
+    """torch.optim.Adagrad semantics: accumulator starts at 0 and the step
+    is g / (sqrt(sum) + eps) — optax.scale_by_rss differs on both counts
+    (initial_accumulator_value=0.1 and rsqrt(sum + eps))."""
+
+    def init(params):
+        return {'sum': jax.tree.map(jnp.zeros_like, params)}
+
+    def update(updates, state, params=None):
+        new_sum = jax.tree.map(lambda s, g: s + g * g, state['sum'], updates)
+        out = jax.tree.map(lambda g, s: g / (jnp.sqrt(s) + eps),
+                           updates, new_sum)
+        return out, {'sum': new_sum}
+
+    return optax.GradientTransformation(init, update)
 
 
 def build_optimizer(opt) -> optax.GradientTransformation:
@@ -25,9 +44,12 @@ def build_optimizer(opt) -> optax.GradientTransformation:
     if wd > 0 and name != 'adamw':
         chain.append(optax.add_decayed_weights(wd))
     if name == 'rmsprop':
-        chain.append(optax.scale_by_rms(decay=a, eps=eps))
+        # torch RMSprop divides by sqrt(nu) + eps, not sqrt(nu + eps)
+        chain.append(optax.scale_by_rms(decay=a, eps=eps, eps_in_sqrt=False))
     elif name == 'adagrad':
-        chain.append(optax.scale_by_rss())
+        # reference misc.py:118 passes only lr/weight_decay -> torch
+        # defaults (eps 1e-10, zero-initialized accumulator)
+        chain.append(_torch_adagrad())
     elif name == 'sgd':
         pass
     elif name == 'sgdm':
@@ -48,9 +70,18 @@ def build_optimizer(opt) -> optax.GradientTransformation:
 
 
 def build_noam_optimizer(opt) -> optax.GradientTransformation:
-    """The optimizer under NoamOpt (reference misc.py:257-263): adam/adamw
-    with betas (0.9, 0.98), eps 1e-9; rate supplied per step."""
-    return optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-9)
+    """The optimizer under NoamOpt (reference misc.py:257-263): adam or
+    adamw with betas (0.9, 0.98), eps 1e-9; rate supplied per step.
+    AdamW keeps torch's default decoupled weight decay (0.01 — the
+    reference constructs torch.optim.AdamW without passing weight_decay);
+    any other --optim raises, matching the reference's dict KeyError."""
+    name = getattr(opt, 'optim', 'adam')
+    adam = optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-9)
+    if name == 'adam':
+        return adam
+    if name == 'adamw':
+        return optax.chain(adam, optax.add_decayed_weights(0.01))
+    raise KeyError('noamopt supports optim adam/adamw, got %r' % name)
 
 
 def clip_transform(opt) -> optax.GradientTransformation:

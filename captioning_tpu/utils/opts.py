@@ -178,6 +178,11 @@ def build_parser():
                         help='persistent XLA compilation cache directory; '
                              'large decode programs compile in minutes cold '
                              'but load in seconds warm. Empty = disabled.')
+    parser.add_argument('--seed', type=int, default=42,
+                        help='base PRNG seed for training (dropout, '
+                             'sampling, scheduled sampling). The torch '
+                             'reference never seeds; a seed is what makes '
+                             'jit-compiled runs reproducible here.')
     parser.add_argument('--rng_impl', type=str, default='rbg',
                         help='JAX PRNG implementation for TRAINING: rbg '
                              '(fast TPU generator, the default — '

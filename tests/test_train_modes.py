@@ -107,3 +107,21 @@ def test_struc_with_xe_mix(ds, tmp_path, monkeypatch):
                    structure_loss_weight=0.5, losses_log_every=1)
     opt.start_from = None
     train(opt)
+
+
+def test_struc_weight_zero_host_path(ds, tmp_path, monkeypatch):
+    """structure_loss_weight 0 (pure XE through the struc path, a supported
+    config — train.py passes zero scores) must not crash the metrics
+    consumer: the host-reward struc step emits 'reward' unconditionally."""
+    monkeypatch.chdir(tmp_path)
+    _reset_scorers()
+    from tools.train import train
+    ck = str(tmp_path / 'log_w0')
+    opt = make_opt(ds, 'att2in2', max_epochs=1, checkpoint_path=ck,
+                   save_checkpoint_every=100, language_eval=0,
+                   val_images_use=4, id='w0', structure_after=0,
+                   structure_loss_type='softmax_margin',
+                   structure_loss_weight=0.0, losses_log_every=1,
+                   on_device_cider=0)
+    opt.start_from = None
+    train(opt)

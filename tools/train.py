@@ -150,7 +150,8 @@ def train(opt):
     opt.vocab = loader.get_vocab()
     captioner = models.setup(opt, opt.vocab)
     del opt.vocab
-    rng = jax.random.PRNGKey(getattr(opt, 'seed', 42) or 42)
+    seed = getattr(opt, 'seed', None)
+    rng = jax.random.PRNGKey(42 if seed is None else int(seed))
     rng, init_rng = jax.random.split(rng)
     variables = captioner.init_params(init_rng)
     if opt.start_from is not None and os.path.isfile(
@@ -182,15 +183,18 @@ def train(opt):
         assert opt.caption_model in ['transformer', 'bert', 'm2transformer'], \
             'noamopt can only work with transformer'
     opt_state = trainer.init_opt_state(variables)
-    if mesh is not None:
-        from captioning_tpu.parallel.mesh import shard_variables
-        opt_state = shard_variables(opt_state, mesh)
     if opt.start_from is not None and os.path.isfile(
             os.path.join(opt.start_from, 'optimizer.npz')):
         loaded = utils.load_pytree(os.path.join(opt.start_from,
                                                 'optimizer.npz'))
         opt_state = jax.tree.unflatten(jax.tree.structure(opt_state),
                                        jax.tree.leaves(loaded))
+    # shard AFTER a resume load, like the model variables above — loading
+    # afterwards would silently replace the sharded state with replicated
+    # host arrays (double per-device memory for the big Adam moments)
+    if mesh is not None:
+        from captioning_tpu.parallel.mesh import shard_variables
+        opt_state = shard_variables(opt_state, mesh)
 
     plateau = None
     if opt.reduce_on_plateau:
@@ -321,7 +325,11 @@ def train(opt):
                     opt.noamopt_warmup)
             elif opt.reduce_on_plateau:
                 opt.current_lr = plateau.current_lr
-            if opt.use_warmup and (iteration < opt.noamopt_warmup):
+            # warmup is a no-op under noamopt: the reference sets it, then
+            # NoamOpt.step() overwrites the param-group lr every iteration
+            # (reference train.py:170-172 + misc.py:170-177)
+            if (opt.use_warmup and not opt.noamopt
+                    and iteration < opt.noamopt_warmup):
                 opt.current_lr = (opt.learning_rate * (iteration + 1) /
                                   opt.noamopt_warmup)
 
