@@ -19,6 +19,15 @@ from .harness import AttCaptioner, BAD_ENDINGS, ModelConfig, config_from_opt
 from .transformer import TransformerCaptioner
 
 
+def freeze_opt(opt: Dict[str, Any]):
+    """Hashable jit-cache key from a decode-options dict (shared by
+    Captioner and EnsembleCaptioner so the key logic cannot drift).
+    dict/list values are excluded from the key — they are baked into the
+    compiled closure, so callers must not mutate them between calls."""
+    return tuple(sorted((k, v) for k, v in opt.items()
+                        if not isinstance(v, (dict, list))))
+
+
 def _vocab_indices(vocab: Optional[Dict[str, str]], vocab_size: int):
     """bad-ending ids (AttModel.py:96-97) and UNK id (CaptionModel.py:159)."""
     if vocab is None:
@@ -247,8 +256,7 @@ class Captioner:
 
     # -- jitted entry points -------------------------------------------------
     def _freeze_opt(self, opt: Dict[str, Any]):
-        return tuple(sorted((k, v) for k, v in opt.items()
-                            if not isinstance(v, (dict, list))))
+        return freeze_opt(opt)
 
     def sample_jit(self, variables, fc_feats, att_feats, att_masks, rng,
                    opt: Dict[str, Any], train: bool = False):

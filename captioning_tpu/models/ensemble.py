@@ -86,12 +86,16 @@ class EnsembleCaptioner:
             seq_length=cfg.seq_length, vocab_plus=cfg.vocab_size + 1,
             bos_idx=cfg.bos_idx, eos_idx=cfg.eos_idx, pad_idx=cfg.pad_idx,
             unk_idx=self.unk_idx, bad_endings_ix=self.bad_endings_ix,
-            beam_init=beam_init, beam_reorder=beam_reorder)
+            beam_init=beam_init, beam_reorder=beam_reorder,
+            # block-shared beam feats only when EVERY member shape-detects
+            # blocks (each member's step sees its own feats, so the layout
+            # must be uniform across members)
+            shared_beam_feats=all(dm.shared_beam_feats for dm in dms))
 
     # jitted eval-time entry points mirroring Captioner
     def _freeze_opt(self, opt):
-        return tuple(sorted((k, v) for k, v in opt.items()
-                            if not isinstance(v, (dict, list))))
+        from .api import freeze_opt
+        return freeze_opt(opt)
 
     def sample_jit(self, variables_list, fc, att, am, rng, opt,
                    train: bool = False):
@@ -124,17 +128,20 @@ class EnsembleCaptioner:
 
     def forward_tf_jit(self, variables_list, fc, att, seq, am,
                        ss_prob=0.0, rng=None, train: bool = False):
-        """Ensemble TF loss path: average member probabilities per step."""
+        """Ensemble TF loss path: average member probabilities per step.
+        ``ss_prob`` is a traced operand, as in Captioner.forward_tf_jit."""
         key = ('tf', train)
         if key not in self._jit_cache:
-            def fn(variables_list, fc, att, seq, am, rng):
+            def fn(variables_list, fc, att, seq, am, ss_prob, rng):
                 probs = None
                 for c, v, w in zip(self.members, variables_list,
                                    self.weights):
-                    lp = c.forward_tf(v, fc, att, seq, am, 0.0, rng, train)
+                    lp = c.forward_tf(v, fc, att, seq, am, ss_prob, rng,
+                                      train)
                     p = jnp.exp(lp) * w
                     probs = p if probs is None else probs + p
                 return jnp.log(jnp.maximum(probs, 1e-38))
             self._jit_cache[key] = jax.jit(fn)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        return self._jit_cache[key](variables_list, fc, att, seq, am, rng)
+        return self._jit_cache[key](variables_list, fc, att, seq, am,
+                                    jnp.float32(ss_prob), rng)

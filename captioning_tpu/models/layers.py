@@ -19,9 +19,11 @@ Dtype = Any
 
 
 def torch_linear_init(key, shape, dtype=jnp.float32):
-    """U(+-1/sqrt(fan_in)) — torch nn.Linear default for weight and bias."""
-    fan_in = shape[0] if len(shape) > 1 else max(shape[0], 1)
-    bound = 1.0 / jnp.sqrt(fan_in)
+    """U(+-1/sqrt(fan_in)) — torch nn.Linear default for the WEIGHT (2-D
+    kernels only; a 1-D bias cannot know its layer's fan_in from its own
+    shape — use ``_bias_init_for(in_features)`` for biases)."""
+    assert len(shape) > 1, 'bias init needs _bias_init_for(fan_in)'
+    bound = 1.0 / jnp.sqrt(shape[0])
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
@@ -119,16 +121,22 @@ class MaskedBatchNorm(nn.Module):
                                lambda: jnp.ones((c,), jnp.float32))
         if train:
             if mask is None:
+                n = jnp.float32(x.shape[0] * x.shape[1])
                 mean = x.mean(axis=(0, 1))
                 var = x.var(axis=(0, 1))
             else:
                 m = mask[..., None]
-                denom = jnp.maximum(m.sum(), 1.0)
-                mean = (x * m).sum(axis=(0, 1)) / denom
-                var = (((x - mean) ** 2) * m).sum(axis=(0, 1)) / denom
+                n = jnp.maximum(m.sum(), 1.0)
+                mean = (x * m).sum(axis=(0, 1)) / n
+                var = (((x - mean) ** 2) * m).sum(axis=(0, 1)) / n
             if not self.is_initializing():
+                # torch BatchNorm1d normalizes the batch with the BIASED
+                # variance but accumulates the Bessel-corrected UNBIASED
+                # variance into running stats
+                var_unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                ra_var.value = (self.momentum * ra_var.value +
+                                (1 - self.momentum) * var_unbiased)
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean) * jax.lax.rsqrt(var + self.eps)

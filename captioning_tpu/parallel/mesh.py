@@ -91,12 +91,19 @@ def replicate(tree, mesh: Mesh):
 
 
 def local_batch_slice(global_batch_size: int) -> slice:
-    """This host's strided slice of the global batch (multi-host input
-    sharding; replaces Lightning's per-GPU batch split train_pl.py:459)."""
+    """This host's contiguous slice of the global batch (multi-host input
+    sharding; replaces Lightning's per-GPU batch split train_pl.py:459).
+
+    A remainder (batch not divisible by the process count) goes to the
+    first ``rem`` hosts — every global row belongs to exactly one host, so
+    nothing is silently dropped from an eval merge (the reference's
+    DistributedSampler pads instead; here the uneven eval shapes are
+    absorbed by the per-host pad in eval_split's _shard)."""
     n_proc = jax.process_count()
-    per = global_batch_size // n_proc
+    per, rem = divmod(global_batch_size, n_proc)
     i = jax.process_index()
-    return slice(i * per, (i + 1) * per)
+    start = i * per + min(i, rem)
+    return slice(start, start + per + (1 if i < rem else 0))
 
 
 def object_allgather(obj, allgather):

@@ -107,12 +107,19 @@ class CiderD(CiderBase):
             crefs.append([precook(r, self.n) for r in gts[i]])
         if self.df_mode == 'corpus' or self.document_frequency is None:
             self._compute_df_corpus(crefs)
+        # SCST scores seq_per_img+1 candidates against the SAME refs (the
+        # id repeats, rewards.py:41-81): tf-idf-vectorize each image's
+        # references once, not once per candidate row
+        ref_vec_cache: Dict = {}
         scores = []
-        for (tlen, tcounts), refs in zip(ctest, crefs):
+        for i, ((tlen, tcounts), refs) in enumerate(zip(ctest, crefs)):
             vec, norm, length = self._counts2vec(tcounts)
+            rv = ref_vec_cache.get(ids[i])
+            if rv is None:
+                rv = [self._counts2vec(rcounts) for rlen, rcounts in refs]
+                ref_vec_cache[ids[i]] = rv
             score = np.zeros(self.n)
-            for rlen, rcounts in refs:
-                vec_r, norm_r, length_r = self._counts2vec(rcounts)
+            for vec_r, norm_r, length_r in rv:
                 score += self._sim(vec, vec_r, norm, norm_r, length, length_r)
             score_avg = np.mean(score) / len(refs) * 10.0
             scores.append(score_avg)
@@ -185,7 +192,7 @@ class Bleu:
     def compute_score(self, gts: Dict, res: Dict):
         small = 1e-9
         tiny = 1e-15
-        ids = sorted(res.keys()) if not isinstance(res, dict) else list(res.keys())
+        ids = list(res.keys())  # callers pass dicts (see rewards.py)
         per_n_scores = [[] for _ in range(self.n)]
         total_correct = np.zeros(self.n)
         total_guess = np.zeros(self.n)

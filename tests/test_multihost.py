@@ -118,6 +118,16 @@ def test_local_batch_slice_partition(monkeypatch):
     parts = [idx[s] for s in slices]
     assert [p.size for p in parts] == [4, 4, 4, 4]
     assert (np.concatenate(parts) == idx).all()
+    # a non-divisible batch still covers every row (remainder spread over
+    # the first hosts — dropped rows would silently truncate eval merges)
+    slices = []
+    for pid in range(4):
+        monkeypatch.setattr(jax, 'process_index', lambda p=pid: p)
+        slices.append(local_batch_slice(10))
+    idx = np.arange(10)
+    parts = [idx[s] for s in slices]
+    assert [p.size for p in parts] == [3, 3, 2, 2]
+    assert (np.concatenate(parts) == idx).all()
 
 
 def test_eval_split_merge_path(monkeypatch):
