@@ -20,7 +20,7 @@ from flax import linen as nn
 from .harness import ModelConfig
 from .layers import Dense, MaskedBatchNorm, MLPEmbed
 from .transformer import (_attend, _attend_beam, _attend_grouped,
-                          _attend_shared, _merge_heads, _split_heads)
+                          _lazy_cross_attend, _merge_heads, _split_heads)
 
 _LN_EPS = 1e-12  # BertConfig default
 
@@ -119,19 +119,6 @@ class BertCaptioner(nn.Module):
         x = self._dropout(blk.wo(x), self.cfg.dropout, train)
         return blk.ln(q_in + x)
 
-    def _attn_shared(self, blk: BertAttnBlock, q_in, kv_k, kv_v, att_masks,
-                     bw, train):
-        """cross-attention with one K/V row per beam block (see
-        transformer._attend_shared); post-LN residual as in _attn."""
-        h = self.cfg.num_att_heads
-        q = _split_heads(blk.wq(q_in), h)                # [B, h, 1, dk]
-        nb = kv_k.shape[0]
-        x = _merge_heads(_attend_shared(
-            q.reshape(nb, bw, h, -1), kv_k, kv_v, att_masks,
-            lambda p: self._dropout(p, self.cfg.dropout, train)))
-        x = self._dropout(blk.wo(x), self.cfg.dropout, train)
-        return blk.ln(q_in + x)
-
     def _attn_anc(self, blk: BertAttnBlock, q_in, kv_k, kv_v, anc,
                   time_mask, bw, train):
         """self-attention through the beam-ancestry table (see
@@ -189,16 +176,16 @@ class BertCaptioner(nn.Module):
     def prepare_feature(self, fc_feats, att_feats, att_masks,
                         train: bool = False):
         memory = self.encode(att_feats, att_masks, train)
-        cfg = self.cfg
-        h = cfg.num_att_heads
-        mem_k, mem_v = [], []
-        for i in range(cfg.N_dec):
-            blk = self.dec_cross[i]
-            mem_k.append(_split_heads(blk.wk(memory), h))
-            mem_v.append(_split_heads(blk.wv(memory), h))
-        return {'memory': memory,
-                'mem_k': jnp.stack(mem_k, 1), 'mem_v': jnp.stack(mem_v, 1),
-                'att_masks': att_masks}
+        # Decode steps attend the raw memory with the cross K/V projections
+        # folded around the attention (transformer._lazy_cross_attend); the
+        # per-layer [B, h, M, dk] cross caches are never materialized.
+        if self.is_initializing():
+            # wk/wv are otherwise applied only by forward_tf; touch them so
+            # init creates the full (checkpoint-compatible) param tree
+            for i in range(self.cfg.N_dec):
+                _ = self.dec_cross[i].wk(memory[:, :1])
+                _ = self.dec_cross[i].wv(memory[:, :1])
+        return {'memory': memory, 'att_masks': att_masks}
 
     def init_state(self, batch_size: int):
         cfg = self.cfg
@@ -247,14 +234,10 @@ class BertCaptioner(nn.Module):
                 time_mask = jnp.arange(T)[None, :] <= t_rows[:, None]
             new_state['anc'] = anc
 
-        # block-shared cross-attention feats (shape-detected, like the
-        # transformer step)
-        nb_feats = feats['mem_k'].shape[0]
-        shared_cross = nb_feats != B
-        cross_bw = B // nb_feats if shared_cross else 1
-        src_mask = (feats['att_masks'][:, None, None, :]
-                    if feats['att_masks'] is not None and not shared_cross
-                    else None)
+        # shared cross-attention: feats may carry one memory row per beam
+        # block (shape-detected, like the transformer step)
+        nb_feats = feats['memory'].shape[0]
+        cross_bw = B // nb_feats
         for i in range(cfg.N_dec):
             blk = self.dec_self[i]
             k_new = _split_heads(blk.wk(x), h)
@@ -268,14 +251,12 @@ class BertCaptioner(nn.Module):
                                    beam_width, train)
             else:
                 x = self._attn(blk, x, k_cache, v_cache, self_mask, train)
-            if shared_cross:
-                x = self._attn_shared(self.dec_cross[i], x,
-                                      feats['mem_k'][:, i],
-                                      feats['mem_v'][:, i],
-                                      feats['att_masks'], cross_bw, train)
-            else:
-                x = self._attn(self.dec_cross[i], x, feats['mem_k'][:, i],
-                               feats['mem_v'][:, i], src_mask, train)
+            cblk = self.dec_cross[i]
+            y = _lazy_cross_attend(
+                cblk, x, feats['memory'], feats['att_masks'], cross_bw, h,
+                lambda p: self._dropout(p, cfg.dropout, train),
+                dropped=train and cfg.dropout > 0)
+            x = cblk.ln(x + self._dropout(y, cfg.dropout, train))
             x = self._ffn(self.dec_ffn[i], x, train)
         logits = self.generator(x[:, 0]).astype(jnp.float32)
         state = new_state

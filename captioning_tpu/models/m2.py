@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from .harness import ModelConfig
 from .layers import Dense, MaskedBatchNorm
-from .transformer import (_attend, _attend_beam, _attend_shared,
+from .transformer import (_attend, _attend_beam, _lazy_cross_attend,
                           _merge_heads, _split_heads)
 
 M2_MEMORY_SLOTS = 40
@@ -193,22 +193,19 @@ class M2Captioner(nn.Module):
     def prepare_feature(self, fc_feats, att_feats, att_masks,
                         train: bool = False):
         levels = self.encode(att_feats, att_masks, train)  # [B, E, M, D]
-        cfg = self.cfg
-        h = cfg.num_att_heads
-        # pre-project cross K/V per decoder layer per encoder level
-        mem_k, mem_v = [], []
-        for i in range(cfg.N_dec):
-            blk = self.dec_cross[i]
-            ks = [_split_heads(blk.wk(levels[:, e]), h)
-                  for e in range(cfg.N_enc)]
-            vs = [_split_heads(blk.wv(levels[:, e]), h)
-                  for e in range(cfg.N_enc)]
-            mem_k.append(jnp.stack(ks, 1))      # [B, Ne, h, M, dk]
-            mem_v.append(jnp.stack(vs, 1))
-        return {'levels': levels,
-                'mem_k': jnp.stack(mem_k, 1),   # [B, Nd, Ne, h, M, dk]
-                'mem_v': jnp.stack(mem_v, 1),
-                'att_masks': att_masks}
+        # Decode steps attend the raw per-level memories with the cross K/V
+        # projections folded around the attention
+        # (transformer._lazy_cross_attend); the [B, Nd, Ne, h, M, dk]
+        # pre-projected cross tables are never materialized.  forward_tf
+        # (multi-token queries, where lazy scores cost h-times the FLOPs)
+        # materializes its own per-layer K/V from ``levels``.
+        if self.is_initializing():
+            # wk/wv are otherwise applied only by forward_tf; touch them so
+            # init creates the full (checkpoint-compatible) param tree
+            for i in range(self.cfg.N_dec):
+                _ = self.dec_cross[i].wk(levels[:, 0, :1])
+                _ = self.dec_cross[i].wv(levels[:, 0, :1])
+        return {'levels': levels, 'att_masks': att_masks}
 
     def init_state(self, batch_size: int):
         cfg = self.cfg
@@ -241,25 +238,27 @@ class M2Captioner(nn.Module):
         # meshed cross attention over every encoder level; feats may carry
         # one row per beam block (shape-detected, see transformer step)
         cblk = self.dec_cross[i]
-        q = _split_heads(cblk.wq(x), h)
-        nb_feats = feats['mem_k'].shape[0]
         B = x.shape[0]
-        # only the single-token step path supports block-shared feats
-        shared_cross = nb_feats != B and q.shape[-2] == 1
-        cross_bw = B // nb_feats if shared_cross else 1
+        lazy = 'levels' in feats        # single-token step path
         total = jnp.zeros_like(x)
+        if lazy:
+            nb_feats = feats['levels'].shape[0]
+            cross_bw = B // nb_feats
+        else:                           # forward_tf: materialized K/V
+            q = _split_heads(cblk.wq(x), h)
         for e in range(cfg.N_enc):
-            k, v = feats['mem_k'][:, i, e], feats['mem_v'][:, i, e]
-            if shared_cross:
-                att = _merge_heads(_attend_shared(
-                    q.reshape(nb_feats, cross_bw, h, -1), k, v,
-                    feats['att_masks'],
-                    lambda p: self._dropout(p, cfg.dropout, train)))
+            if lazy:
+                att = _lazy_cross_attend(
+                    cblk, x, feats['levels'][:, e], feats['att_masks'],
+                    cross_bw, h,
+                    lambda p: self._dropout(p, cfg.dropout, train),
+                    dropped=train and cfg.dropout > 0)
             else:
-                att = _merge_heads(_attend(q, k, v, src_mask,
-                                           lambda p: self._dropout(
-                                               p, cfg.dropout, train)))
-            att = self._dropout(cblk.wo(att), cfg.dropout, train)
+                k, v = feats['mem_k'][:, i, e], feats['mem_v'][:, i, e]
+                att = cblk.wo(_merge_heads(_attend(
+                    q, k, v, src_mask,
+                    lambda p: self._dropout(p, cfg.dropout, train))))
+            att = self._dropout(att, cfg.dropout, train)
             gate = jax.nn.sigmoid(self.dec_gates[i][e](
                 jnp.concatenate([x, att], axis=-1)))
             total = total + gate * att
@@ -344,7 +343,23 @@ class M2Captioner(nn.Module):
         h = cfg.num_att_heads
         if seq.ndim == 3:
             seq = seq.reshape(-1, seq.shape[2])
-        feats = self.prepare_feature(fc_feats, att_feats, att_masks, train)
+        levels = self.encode(att_feats, att_masks, train)
+        # multi-token queries: pre-project cross K/V per decoder layer per
+        # encoder level (lazy attention would cost h-times the score FLOPs);
+        # project BEFORE the seq_per_img repeat so each image is projected
+        # once
+        mem_k, mem_v = [], []
+        for i in range(cfg.N_dec):
+            blk = self.dec_cross[i]
+            mem_k.append(jnp.stack(
+                [_split_heads(blk.wk(levels[:, e]), h)
+                 for e in range(cfg.N_enc)], 1))     # [B, Ne, h, M, dk]
+            mem_v.append(jnp.stack(
+                [_split_heads(blk.wv(levels[:, e]), h)
+                 for e in range(cfg.N_enc)], 1))
+        feats = {'mem_k': jnp.stack(mem_k, 1),       # [B, Nd, Ne, h, M, dk]
+                 'mem_v': jnp.stack(mem_v, 1),
+                 'att_masks': att_masks}
         spi = seq.shape[0] // att_feats.shape[0]
         if spi > 1:  # everything in feats is batch-first
             feats = jax.tree.map(

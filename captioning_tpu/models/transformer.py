@@ -171,6 +171,59 @@ def _attend(q, k, v, mask, dropout_fn):
     return jnp.einsum('...qk,...kd->...qd', p, v)
 
 
+def _lazy_cross_attend(sproj, y, mem, att_masks, bw, h, dropout_fn,
+                       dropped: bool = False):
+    """Decode-step cross-attention over the RAW encoder memory.
+
+    Exact reformulation of q·K(mem) -> softmax -> p·V(mem): the K
+    projection folds into the query (K's bias shifts every score of a
+    row equally, so softmax is invariant to it) and the V projection is
+    applied to the attended context.  V's bias enters weighted by
+    sum_m p_m — exactly 1 for plain softmax (the eval path adds ``bv``
+    directly to keep its numerics bit-identical to the cached-K/V
+    formulation), but NOT 1 under attention dropout, where the dropped
+    probabilities carry ``p.sum(-1)`` through to the bias term
+    (``dropped=True``, train-mode RL decode).
+    Per-layer [B, h, M, dk] K/V tensors (reference
+    cachedTransformer.py:201-242 caches them) are never materialized:
+    same HBM traffic per step, but MXU-shaped batched matmuls instead
+    of the [B,h,M]-output mul+reduce VPU fusions (which measured ~half
+    the greedy step, tools/profile_decode.py) and 12x less feats
+    memory.
+
+    ``sproj`` carries ``wq``/``wk``/``wv``/``wo`` Dense submodules
+    (transformer MHAProj or bert BertAttnBlock); the residual/LN policy
+    around the returned ``wo`` output is the caller's.
+
+    y: [B, 1, D] with B = nb*bw (bw > 1 when beam blocks share feats);
+    mem: [nb, M, D]; att_masks: [nb, M] or None.  Returns [B, 1, D].
+    """
+    D = y.shape[-1]
+    dk = D // h
+    nb, M, _ = mem.shape
+    q = _split_heads(sproj.wq(y), h)[:, :, 0]            # [B, h, dk]
+    wk = sproj.wk.variables['params']['kernel'].astype(mem.dtype)
+    qt = jnp.einsum('bhk,dhk->bhd', q, wk.reshape(D, h, dk))
+    scores = jnp.einsum('gqd,gmd->gqm', qt.reshape(nb, bw * h, D),
+                        mem) / jnp.sqrt(jnp.asarray(dk, q.dtype))
+    if att_masks is not None:
+        scores = jnp.where(att_masks[:, None, :] == 0, _NEG_INF, scores)
+    p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    p = dropout_fn(p)
+    ctx = jnp.einsum('gqm,gmd->gqd', p, mem)             # [nb, bw*h, D]
+    wv = sproj.wv.variables['params']['kernel'].astype(mem.dtype)
+    bv = sproj.wv.variables['params']['bias'].astype(mem.dtype)
+    out = jnp.einsum('bhd,dhk->bhk', ctx.reshape(-1, h, D),
+                     wv.reshape(D, h, dk))
+    if dropped:
+        # dropout rescaled/zeroed p: the cached-K/V computation weights
+        # V's bias by the (dropped) probability mass, not by 1
+        out = out + bv.reshape(1, h, dk) * p.sum(-1).reshape(-1, h, 1)
+    else:
+        out = out + bv.reshape(1, h, dk)
+    return sproj.wo(out.reshape(-1, 1, D))
+
+
 class FFN(nn.Module):
     d_model: int
     d_ff: int
@@ -246,53 +299,9 @@ class TransformerCaptioner(nn.Module):
 
     def _lazy_cross(self, sproj, y, mem, att_masks, bw, dropout_fn,
                     dropped: bool = False):
-        """Decode-step cross-attention over the RAW encoder memory.
-
-        Exact reformulation of q·K(mem) -> softmax -> p·V(mem): the K
-        projection folds into the query (K's bias shifts every score of a
-        row equally, so softmax is invariant to it) and the V projection is
-        applied to the attended context.  V's bias enters weighted by
-        sum_m p_m — exactly 1 for plain softmax (the eval path adds ``bv``
-        directly to keep its numerics bit-identical to the cached-K/V
-        formulation), but NOT 1 under attention dropout, where the dropped
-        probabilities carry ``p.sum(-1)`` through to the bias term
-        (``dropped=True``, train-mode RL decode).
-        Per-layer [B, h, M, dk] K/V tensors (reference
-        cachedTransformer.py:201-242 caches them) are never materialized:
-        same HBM traffic per step, but MXU-shaped batched matmuls instead
-        of the [B,h,M]-output mul+reduce VPU fusions (which measured ~half
-        the greedy step, tools/profile_decode.py) and 12x less feats
-        memory.
-
-        y: [B, 1, D] with B = nb*bw (bw > 1 when beam blocks share feats);
-        mem: [nb, M, D]; att_masks: [nb, M] or None.  Returns [B, 1, D].
-        """
-        cfg = self.cfg
-        h = cfg.num_att_heads
-        D = cfg.d_model
-        dk = D // h
-        nb, M, _ = mem.shape
-        q = _split_heads(sproj.wq(y), h)[:, :, 0]            # [B, h, dk]
-        wk = sproj.wk.variables['params']['kernel'].astype(mem.dtype)
-        qt = jnp.einsum('bhk,dhk->bhd', q, wk.reshape(D, h, dk))
-        scores = jnp.einsum('gqd,gmd->gqm', qt.reshape(nb, bw * h, D),
-                            mem) / jnp.sqrt(jnp.asarray(dk, q.dtype))
-        if att_masks is not None:
-            scores = jnp.where(att_masks[:, None, :] == 0, _NEG_INF, scores)
-        p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-        p = dropout_fn(p)
-        ctx = jnp.einsum('gqm,gmd->gqd', p, mem)             # [nb, bw*h, D]
-        wv = sproj.wv.variables['params']['kernel'].astype(mem.dtype)
-        bv = sproj.wv.variables['params']['bias'].astype(mem.dtype)
-        out = jnp.einsum('bhd,dhk->bhk', ctx.reshape(-1, h, D),
-                         wv.reshape(D, h, dk))
-        if dropped:
-            # dropout rescaled/zeroed p: the cached-K/V computation weights
-            # V's bias by the (dropped) probability mass, not by 1
-            out = out + bv.reshape(1, h, dk) * p.sum(-1).reshape(-1, h, 1)
-        else:
-            out = out + bv.reshape(1, h, dk)
-        return sproj.wo(out.reshape(-1, 1, D))
+        """See _lazy_cross_attend (module level, shared with bert_cap)."""
+        return _lazy_cross_attend(sproj, y, mem, att_masks, bw,
+                                  self.cfg.num_att_heads, dropout_fn, dropped)
 
     def _embed_tokens(self, ids, t0, train: bool):
         """Embeddings * sqrt(d) + PE (positions t0..t0+T) + dropout

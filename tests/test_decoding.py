@@ -688,6 +688,142 @@ def test_lazy_cross_exact_under_attention_dropout():
     assert not np.allclose(np.asarray(out_eval)[:, 0], ref, atol=1e-5)
 
 
+def test_bert_lazy_cross_equals_cached():
+    """The bert step's lazy cross-attention (transformer._lazy_cross_attend)
+    must equal the materialized cached-K/V formulation it replaced
+    (mem_k/mem_v per layer + _attend with a src mask), in eval mode and in
+    train mode with the SAME dropout rng stream (the lazy p is [nb, bw*h, M]
+    whose row-major order equals the cached [B, h, 1, M], so the masks
+    match elementwise)."""
+    from types import SimpleNamespace
+    from captioning_tpu.models import setup
+    from captioning_tpu.models.transformer import _split_heads
+
+    vocab = {str(i): 'w%d' % i for i in range(1, 21)}
+    opt = SimpleNamespace(
+        caption_model='bert', vocab_size=20, input_encoding_size=16,
+        rnn_size=24, num_layers=1, drop_prob_lm=0.5, fc_feat_size=10,
+        att_feat_size=12, att_hid_size=8, seq_length=7, max_length=7,
+        rnn_type='lstm', logit_layers=1, use_bn=0, vocab=vocab,
+        seq_per_img=1, compute_dtype='float32',
+        N_enc=2, N_dec=2, d_model=16, d_ff=32, num_att_heads=4, dropout=0.3)
+    cap = setup(opt, vocab)
+    variables = cap.init_params(jax.random.PRNGKey(0), att_len=5)
+    module = cap.module
+    rng = np.random.RandomState(3)
+    B = 3
+    fc = jnp.asarray(rng.randn(B, 10).astype('float32'))
+    att = jnp.asarray(rng.randn(B, 5, 12).astype('float32'))
+    am = jnp.asarray((rng.rand(B, 5) > 0.2).astype('float32'))
+    it = jnp.asarray(rng.randint(1, 20, (B,)), jnp.int32)
+
+    def new_step(train):
+        def run(m):
+            feats = m.prepare_feature(fc, att, am, train)
+            state = m.init_state(B)
+            return m.step(it, feats, state, train)[0]
+        return module.apply(variables, run, method=lambda m, f: f(m),
+                            rngs={'dropout': jax.random.PRNGKey(7)})
+
+    def old_step(train):
+        """the pre-lazy step: per-layer materialized cross K/V + _attn."""
+        def run(m):
+            cfg = m.cfg
+            h = cfg.num_att_heads
+            memory = m.encode(att, am, train)
+            mem_kv = [( _split_heads(m.dec_cross[i].wk(memory), h),
+                        _split_heads(m.dec_cross[i].wv(memory), h))
+                      for i in range(cfg.N_dec)]
+            state = m.init_state(B)
+            t_rows = state['t']
+            T = state['k0'].shape[-2]
+            x = m._embed_tokens_rows(it, t_rows, train)
+            self_mask = (jnp.arange(T)[None, :] <= t_rows[:, None]
+                         )[:, None, None, :]
+            rows = jnp.arange(B)
+            src_mask = am[:, None, None, :]
+            for i in range(cfg.N_dec):
+                blk = m.dec_self[i]
+                k_cache = state['k%d' % i].at[rows, :, t_rows, :].set(
+                    _split_heads(blk.wk(x), h)[:, :, 0, :])
+                v_cache = state['v%d' % i].at[rows, :, t_rows, :].set(
+                    _split_heads(blk.wv(x), h)[:, :, 0, :])
+                x2 = m._attn(blk, x, k_cache, v_cache, self_mask, train)
+                x2 = m._attn(m.dec_cross[i], x2, mem_kv[i][0], mem_kv[i][1],
+                             src_mask, train)
+                x = m._ffn(m.dec_ffn[i], x2, train)
+            return jax.nn.log_softmax(
+                m.generator(x[:, 0]).astype(jnp.float32), axis=-1)
+        return module.apply(variables, run, method=lambda m, f: f(m),
+                            rngs={'dropout': jax.random.PRNGKey(7)})
+
+    for train in (False, True):
+        lp_new = np.asarray(new_step(train))
+        lp_old = np.asarray(old_step(train))
+        assert np.allclose(lp_new, lp_old, atol=1e-5), (
+            train, np.abs(lp_new - lp_old).max())
+
+
+def test_m2_lazy_cross_equals_cached():
+    """The m2 step's lazy meshed cross-attention must equal the materialized
+    per-(layer, level) K/V formulation it replaced.  The old layout is still
+    the forward_tf path: feeding step() a feats dict carrying mem_k/mem_v
+    (the pre-refactor prepare_feature output) drives _decoder_layer's
+    materialized branch, which must match the lazy branch in eval mode and
+    in train mode under the SAME dropout rng stream."""
+    from types import SimpleNamespace
+    from captioning_tpu.models import setup
+    from captioning_tpu.models.transformer import _split_heads
+
+    vocab = {str(i): 'w%d' % i for i in range(1, 21)}
+    opt = SimpleNamespace(
+        caption_model='m2transformer', vocab_size=20, input_encoding_size=16,
+        rnn_size=24, num_layers=1, drop_prob_lm=0.5, fc_feat_size=10,
+        att_feat_size=12, att_hid_size=8, seq_length=7, max_length=7,
+        rnn_type='lstm', logit_layers=1, use_bn=0, vocab=vocab,
+        seq_per_img=1, compute_dtype='float32',
+        N_enc=2, N_dec=2, d_model=16, d_ff=32, num_att_heads=4, dropout=0.3)
+    cap = setup(opt, vocab)
+    variables = cap.init_params(jax.random.PRNGKey(0), att_len=5)
+    module = cap.module
+    rng = np.random.RandomState(5)
+    B = 3
+    fc = jnp.asarray(rng.randn(B, 10).astype('float32'))
+    att = jnp.asarray(rng.randn(B, 5, 12).astype('float32'))
+    am = jnp.asarray((rng.rand(B, 5) > 0.2).astype('float32'))
+    it = jnp.asarray(rng.randint(1, 20, (B,)), jnp.int32)
+
+    def run_step(materialize, train):
+        def run(m):
+            cfg = m.cfg
+            h = cfg.num_att_heads
+            feats = m.prepare_feature(fc, att, am, train)
+            if materialize:            # rebuild the pre-refactor layout
+                levels = feats['levels']
+                mem_k, mem_v = [], []
+                for i in range(cfg.N_dec):
+                    blk = m.dec_cross[i]
+                    mem_k.append(jnp.stack(
+                        [_split_heads(blk.wk(levels[:, e]), h)
+                         for e in range(cfg.N_enc)], 1))
+                    mem_v.append(jnp.stack(
+                        [_split_heads(blk.wv(levels[:, e]), h)
+                         for e in range(cfg.N_enc)], 1))
+                feats = {'mem_k': jnp.stack(mem_k, 1),
+                         'mem_v': jnp.stack(mem_v, 1),
+                         'att_masks': feats['att_masks']}
+            state = m.init_state(B)
+            return m.step(it, feats, state, train)[0]
+        return module.apply(variables, run, method=lambda m, f: f(m),
+                            rngs={'dropout': jax.random.PRNGKey(9)})
+
+    for train in (False, True):
+        lp_new = np.asarray(run_step(False, train))
+        lp_old = np.asarray(run_step(True, train))
+        assert np.allclose(lp_new, lp_old, atol=1e-5), (
+            train, np.abs(lp_new - lp_old).max())
+
+
 def test_diverse_sample_block_trigrams():
     """_diverse_sample supports block_trigrams (reference AttModel.py:
     411-437 applies the trigram scheme per group at its local time)."""
