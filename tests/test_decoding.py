@@ -619,6 +619,7 @@ def test_grouped_tf_equals_replicated(model):
                        atol=1e-4), model
 
 
+@pytest.mark.slow  # compiles real model programs
 def test_lazy_cross_exact_under_attention_dropout():
     """_lazy_cross == materialized cached-K/V cross-attention with the SAME
     attention-dropout mask: the V bias must be weighted by the dropped
@@ -688,6 +689,7 @@ def test_lazy_cross_exact_under_attention_dropout():
     assert not np.allclose(np.asarray(out_eval)[:, 0], ref, atol=1e-5)
 
 
+@pytest.mark.slow  # compiles real model programs
 def test_bert_lazy_cross_equals_cached():
     """The bert step's lazy cross-attention (transformer._lazy_cross_attend)
     must equal the materialized cached-K/V formulation it replaced
@@ -764,6 +766,7 @@ def test_bert_lazy_cross_equals_cached():
             train, np.abs(lp_new - lp_old).max())
 
 
+@pytest.mark.slow  # compiles real model programs
 def test_m2_lazy_cross_equals_cached():
     """The m2 step's lazy meshed cross-attention must equal the materialized
     per-(layer, level) K/V formulation it replaced.  The old layout is still

@@ -323,6 +323,7 @@ def test_batchnorm_stats_update_in_rl_steps():
     assert any(not np.allclose(a, b) for a, b in zip(before, after))
 
 
+@pytest.mark.slow  # compiles real model programs
 def test_logit_hidden_dropout_fires_in_train_mode():
     """--logit_layers > 1 inserts Dropout(0.5) between logit hidden layers
     (reference AttModel.py:86-92); it must fire in train mode and be a
