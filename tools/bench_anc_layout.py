@@ -101,6 +101,26 @@ def attend_pkdT(q, k, v, anc, t):
     return jnp.swapaxes(out, 1, 2).reshape(N, H, DK)
 
 
+def attend_mrg(q, k, v, anc, t):
+    """Merged-lane cache [N, T, D]: lanes exact (D = 512), sublanes
+    T = 21 -> 32 (1.52x) instead of the [T, dk] trailing pair's ~3x;
+    per-head contraction via a free minor-dim reshape view."""
+    kv = k.reshape(NB, BW, T, H, DK)
+    vv = v.reshape(NB, BW, T, H, DK)
+    time_mask = jnp.broadcast_to(jnp.arange(T)[None, :] <= t, (N, T))
+    q4 = q.reshape(NB, BW, H, DK)
+    scores = jnp.einsum('bqhd,bsthd->bqhst', q4, kv) / jnp.sqrt(
+        jnp.asarray(DK, q.dtype))
+    sel = jax.nn.one_hot(anc.reshape(NB, BW, T), BW, dtype=bool)
+    allowed = (jnp.moveaxis(sel, -1, -2) & time_mask.reshape(NB, BW, 1, T))
+    scores = jnp.where(allowed[:, :, None], scores, NEG)
+    p = jax.nn.softmax(
+        scores.reshape(NB, BW, H, BW * T).astype(jnp.float32),
+        axis=-1).astype(q.dtype).reshape(NB, BW, H, BW, T)
+    out = jnp.einsum('bqhst,bsthd->bqhd', p, vv)
+    return out.reshape(N, H, DK)
+
+
 # -- cache writes -------------------------------------------------------------
 
 def write_cur(cache, new, t):
@@ -121,10 +141,34 @@ def write_pkdT(cache, new, t):
     return jax.lax.dynamic_update_slice_in_dim(cache, e, t * BW, axis=-2)
 
 
+def write_mrg(cache, new, t):
+    # one T entry per row, lanes exact: same cheap sublane DUS as write_cur
+    return jax.lax.dynamic_update_slice_in_dim(
+        cache, new.reshape(N, 1, H * DK), t, axis=-2)
+
+
+def write_pkdSb(cache, new, t):
+    # barrier the transposed entry so XLA can't fuse the transpose into the
+    # DUS (a fused-operand DUS rewrites the WHOLE buffer instead of the
+    # in-place small write)
+    e = jnp.transpose(new.reshape(NB, BW, H, DK), (0, 2, 3, 1))
+    e = jax.lax.optimization_barrier(e)
+    return jax.lax.dynamic_update_slice_in_dim(cache, e, t * BW, axis=-1)
+
+
+def write_pkdTb(cache, new, t):
+    e = jnp.swapaxes(new.reshape(NB, BW, H, DK), 1, 2)
+    e = jax.lax.optimization_barrier(e)
+    return jax.lax.dynamic_update_slice_in_dim(cache, e, t * BW, axis=-2)
+
+
 VARIANTS = {
     'cur': (attend_cur, write_cur, (N, H, T, DK)),
     'pkdS': (attend_pkdS, write_pkdS, (NB, H, DK, S)),
     'pkdT': (attend_pkdT, write_pkdT, (NB, H, S, DK)),
+    'mrg': (attend_mrg, write_mrg, (N, T, H * DK)),
+    'pkdSb': (attend_pkdS, write_pkdSb, (NB, H, DK, S)),
+    'pkdTb': (attend_pkdT, write_pkdTb, (NB, H, S, DK)),
 }
 
 
@@ -138,6 +182,10 @@ def to_pkdT(k):
                          (0, 2, 3, 1, 4)).reshape(NB, H, S, DK)
 
 
+def to_mrg(k):
+    return jnp.transpose(k, (0, 2, 1, 3)).reshape(N, T, H * DK)
+
+
 def check():
     key = jax.random.PRNGKey(0)
     kq, ka, k1, k2 = jax.random.split(key, 4)
@@ -146,7 +194,7 @@ def check():
     kf, vf = rand(k1, (N, H, T, DK)), rand(k2, (N, H, T, DK))
     t = jnp.int32(T - 1)
     ref = np.asarray(attend_cur(q, kf, vf, anc, t), np.float32)
-    for name, conv in (('pkdS', to_pkdS), ('pkdT', to_pkdT)):
+    for name, conv in (('pkdS', to_pkdS), ('pkdT', to_pkdT), ('mrg', to_mrg)):
         fn = VARIANTS[name][0]
         got = np.asarray(fn(q, conv(kf), conv(vf), anc, t), np.float32)
         err = np.abs(ref - got).max()
@@ -157,7 +205,8 @@ def check():
     new = rand(jax.random.PRNGKey(9), (N, H, DK))
     w_ref = write_cur(kf, new, t)
     for name, conv, wr in (('pkdS', to_pkdS, write_pkdS),
-                           ('pkdT', to_pkdT, write_pkdT)):
+                           ('pkdT', to_pkdT, write_pkdT),
+                           ('mrg', to_mrg, write_mrg)):
         a = np.asarray(conv(w_ref), np.float32)
         b = np.asarray(wr(conv(kf), new, t), np.float32)
         err = np.abs(a - b).max()
