@@ -127,6 +127,11 @@ def _split_final_period(tok: str) -> List[str]:
     body = tok[:-1]
     if _ABBREV_RE.match(tok) or body.lower() in _ABBREV_WORDS:
         return [tok]
+    # any letter-word with an internal period is an abbreviation (ph.d.,
+    # u.s.a.); the Java lexer's ABBREV3 pattern keeps its final period.
+    # Digit-bearing tokens (3.5.) are numbers, not abbreviations: split.
+    if '.' in body and not any(c.isdigit() for c in tok):
+        return [tok]
     return [body, '.']
 
 

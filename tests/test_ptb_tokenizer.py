@@ -12,6 +12,12 @@ splitting from Robert MacIntyre's tokenizer.sed) rather than recorded
 from a live Java run.  Each case encodes one documented rule; residual
 divergences from the Java lexer are listed in PARITY.md (forward-slash
 escaping, americanize, abbreviation-lexicon coverage).
+
+Round 4: the tokenizer is additionally cross-validated against an
+INDEPENDENT implementation — NLTK 3.10's TreebankWordTokenizer — in
+tests/test_ptb_nltk_crossval.py (~430 sentences, every divergence
+machine-classified into documented Stanford-vs-sed rule differences), so
+the fidelity evidence is no longer self-referential.
 """
 
 from captioning_tpu.utils.ptb_tokenizer import (ptb_tokenize,
