@@ -108,7 +108,10 @@ def _att_base(b: _TreeBuilder, sd, cfg):
 
 def convert_state_dict(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     """state_dict (numpy-able values) -> flax variables for model `cfg`."""
-    sd = {k: (v.numpy() if hasattr(v, 'numpy') else np.asarray(v))
+    # np.array (not asarray): torch's .numpy() SHARES storage with the live
+    # parameter, and in-place optimizer.step() on the torch side would
+    # silently mutate any un-transposed weight we kept as a view
+    sd = {k: np.array(v.numpy() if hasattr(v, 'numpy') else v)
           for k, v in sd.items()}
     m = cfg.caption_model
     b = _TreeBuilder()
