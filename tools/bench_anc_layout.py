@@ -13,14 +13,19 @@ doesn't take the rest down; pass arg = variant):
   pkdS  : packed [nb, h, dk, S], S = T*bw time-major lanes (105 -> one
           128-lane tile), bw-wide DUS write on the lane dim
   pkdT  : packed [nb, h, S, dk] (S in sublanes), bw-wide DUS on axis -2
+  mrg   : merged-lane [N, T, h*dk] (lanes exact at 512), per-head math
+          via a free minor-dim reshape view, same cheap write as cur
+  pkdSb/pkdTb : pkdS/pkdT with an optimization_barrier before the DUS so
+          XLA cannot fuse the entry transpose into a whole-buffer rewrite
 Bare variant names time the attention math only (writes removed); the
 W-suffixed forms add the per-step cache write, splitting attend cost
 from write cost.
 
-Usage:  python tools/bench_anc_layout.py {check|cur|pkdS|pkdT|curW|pkdSW|pkdTW}
+Usage:  python tools/bench_anc_layout.py VARIANT
+  VARIANT in {check, cur, pkdS, pkdT, mrg, pkdSb, pkdTb} or any of those
+  (except check) with a W suffix (curW, pkdSW, pkdTW, mrgW, pkdSbW,
+  pkdTbW).
   check  runs eager correctness of every variant vs cur (CPU ok)
-  cur/pkdS/pkdT      attention-only scan loops
-  curW/pkdSW/pkdTW   attention + per-step cache write
 """
 
 import os
@@ -32,6 +37,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from captioning_tpu.utils.misc import honor_jax_platforms_env
+
+honor_jax_platforms_env()
 
 NB, BW, H, DK = 1024, 5, 8, 64
 # ANC_T: cache length (default production 21). ANC_T=11 measures the
