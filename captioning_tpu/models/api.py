@@ -109,13 +109,16 @@ class Captioner:
         beam_init = beam_reorder = None
         if getattr(type(module), 'SUPPORTS_BEAM_ANCESTRY', False):
             def _is_cache(name):
-                return name[:1] in ('k', 'v') and name[1:].isdigit()
+                # 'k'/'v': stacked [B, L, h, T, dk] caches (transformer);
+                # 'k0'/'v0'...: per-layer caches (bert/m2)
+                return name[:1] in ('k', 'v') and (name[1:].isdigit()
+                                                   or name[1:] == '')
 
             def beam_init(state, bdash):
                 # ancestry table: every past position initially lives in the
                 # row's own slot (the bos entry was replicated to all lanes)
                 n = state['t'].shape[0]
-                T = state['k0'].shape[-2]
+                T = state['k0' if 'k0' in state else 'k'].shape[-2]
                 anc = jnp.broadcast_to(
                     (jnp.arange(n, dtype=jnp.int32) % bdash)[:, None], (n, T))
                 return dict(state, anc=anc)

@@ -17,6 +17,15 @@ Faithful details:
 * xavier-uniform init for every weight with dim > 1 (:254-258).
 * teacher-forcing seq_mask: (seq != eos) & (seq != pad), position 0 forced
   on, ANDed with the causal mask (:321-328).
+
+TPU-native structure: the N_enc/N_dec layer parameters are STACKED on a
+leading layer axis and eval-mode paths run the layers through a single
+``lax.scan`` (one compiled layer body instead of L unrolled copies, so the
+scanned beam/greedy decode programs compile ~L-times less HLO), with the
+KV caches held as one [B, L, h, T, dk] tensor updated in place through the
+scan carry.  Train-mode paths index the same stacks per layer (free static
+slices) so training numerics and the module dropout-rng order are
+identical to an unrolled implementation.
 """
 
 from __future__ import annotations
@@ -54,18 +63,6 @@ class RefLayerNorm(nn.Module):
         std = jnp.sqrt(var)
         y = a_2 * (x32 - mean) / (std + self.eps) + b_2
         return y.astype(x.dtype)
-
-
-class MHAProj(nn.Module):
-    """The 4 projection matrices of one MultiHeadedAttention block."""
-    d_model: int
-    dtype: Any = jnp.float32
-
-    def setup(self):
-        self.wq = _xavier_dense(self.d_model, self.dtype)
-        self.wk = _xavier_dense(self.d_model, self.dtype)
-        self.wv = _xavier_dense(self.d_model, self.dtype)
-        self.wo = _xavier_dense(self.d_model, self.dtype)
 
 
 def _split_heads(x, h):
@@ -192,8 +189,9 @@ def _lazy_cross_attend(sproj, y, mem, att_masks, bw, h, dropout_fn,
     memory.
 
     ``sproj`` carries ``wq``/``wk``/``wv``/``wo`` Dense submodules
-    (transformer MHAProj or bert BertAttnBlock); the residual/LN policy
-    around the returned ``wo`` output is the caller's.
+    (bert's BertAttnBlock; the transformer itself uses the stacked-param
+    twin ``_lazy_cross_stk``); the residual/LN policy around the returned
+    ``wo`` output is the caller's.
 
     y: [B, 1, D] with B = nb*bw (bw > 1 when beam blocks share feats);
     mem: [nb, M, D]; att_masks: [nb, M] or None.  Returns [B, 1, D].
@@ -224,14 +222,73 @@ def _lazy_cross_attend(sproj, y, mem, att_masks, bw, h, dropout_fn,
     return sproj.wo(out.reshape(-1, 1, D))
 
 
-class FFN(nn.Module):
-    d_model: int
-    d_ff: int
-    dtype: Any = jnp.float32
+# -- stacked-parameter helpers ------------------------------------------------
+# The transformer stores its N_enc/N_dec layer parameters STACKED on a
+# leading layer axis (one [L, ...] array per weight kind) instead of L
+# separate submodules.  Eval-mode paths then run the layers through a
+# single lax.scan — the compiled HLO contains ONE layer body instead of L
+# unrolled copies (~L-times smaller decode-step program, attacking the
+# cold-compile cost of the scanned beam program), while train-mode paths
+# index the stack per layer (a free static slice — identical math, and
+# the same module-level dropout-rng call order as the unrolled original).
 
-    def setup(self):
-        self.w_1 = _xavier_dense(self.d_ff, self.dtype)
-        self.w_2 = _xavier_dense(self.d_model, self.dtype)
+
+def _stacked_bias_init(fan_in: int):
+    """torch nn.Linear default bias U(+-1/sqrt(fan_in)) on a [L, out] stack."""
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / np.sqrt(max(fan_in, 1))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def _plin(x, p, dtype):
+    """layers.Dense compute on an explicit {'kernel','bias'} param dict."""
+    y = jnp.dot(x.astype(dtype), p['kernel'].astype(dtype),
+                preferred_element_type=dtype)
+    return y + p['bias'].astype(dtype)
+
+
+def _pln(x, a_2, b_2, eps=1e-6):
+    """RefLayerNorm compute on explicit params (unbiased std + eps on std)."""
+    c = x.shape[-1]
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True) * (c / max(c - 1, 1))
+    std = jnp.sqrt(var)
+    y = a_2 * (x32 - mean) / (std + eps) + b_2
+    return y.astype(x.dtype)
+
+
+def _lazy_cross_stk(lp, y, mem, att_masks, bw, h, dtype, dropout_fn,
+                    dropped: bool = False):
+    """_lazy_cross_attend on explicit per-layer params (see its docstring).
+
+    ``lp`` carries {'wq','wk','wv','wo'} param dicts for ONE layer (sliced
+    from the [L, ...] stacks); the math is identical to the module-based
+    variant bert_cap still uses.
+    """
+    D = y.shape[-1]
+    dk = D // h
+    nb, M, _ = mem.shape
+    q = _split_heads(_plin(y, lp['wq'], dtype), h)[:, :, 0]   # [B, h, dk]
+    wk = lp['wk']['kernel'].astype(mem.dtype)
+    qt = jnp.einsum('bhk,dhk->bhd', q, wk.reshape(D, h, dk))
+    scores = jnp.einsum('gqd,gmd->gqm', qt.reshape(nb, bw * h, D),
+                        mem) / jnp.sqrt(jnp.asarray(dk, q.dtype))
+    if att_masks is not None:
+        scores = jnp.where(att_masks[:, None, :] == 0, _NEG_INF, scores)
+    p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    p = dropout_fn(p)
+    ctx = jnp.einsum('gqm,gmd->gqd', p, mem)                  # [nb, bw*h, D]
+    wv = lp['wv']['kernel'].astype(mem.dtype)
+    bv = lp['wv']['bias'].astype(mem.dtype)
+    out = jnp.einsum('bhd,dhk->bhk', ctx.reshape(-1, h, D),
+                     wv.reshape(D, h, dk))
+    if dropped:
+        out = out + bv.reshape(1, h, dk) * p.sum(-1).reshape(-1, h, 1)
+    else:
+        out = out + bv.reshape(1, h, dk)
+    return _plin(out.reshape(-1, 1, D), lp['wo'], dtype)
 
 
 class TransformerCaptioner(nn.Module):
@@ -247,23 +304,51 @@ class TransformerCaptioner(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        D = cfg.d_model
+        D, F = cfg.d_model, cfg.d_ff
         self.att_bn_in = MaskedBatchNorm() if cfg.use_bn else None
         self.att_embed = MLPEmbed(D, cfg.drop_prob_lm, cfg.dtype)
         self.att_bn_out = MaskedBatchNorm() if cfg.use_bn == 2 else None
 
-        self.enc_self = tuple(MHAProj(D, cfg.dtype) for _ in range(cfg.N_enc))
-        self.enc_ffn = tuple(FFN(D, cfg.d_ff, cfg.dtype) for _ in range(cfg.N_enc))
-        self.enc_norm1 = tuple(RefLayerNorm() for _ in range(cfg.N_enc))
-        self.enc_norm2 = tuple(RefLayerNorm() for _ in range(cfg.N_enc))
+        # layer params stacked on a leading [L] axis (see the stacked-param
+        # helpers above); xavier fans exclude the layer batch axis
+        xav = nn.initializers.xavier_uniform(batch_axis=0)
+
+        def lin(name, L, din, dout):
+            return {'kernel': self.param(name + '_kernel', xav,
+                                         (L, din, dout)),
+                    'bias': self.param(name + '_bias',
+                                       _stacked_bias_init(din), (L, dout))}
+
+        def ln(name, L):
+            return {'a': self.param(name + '_a2', nn.initializers.ones,
+                                    (L, D)),
+                    'b': self.param(name + '_b2', nn.initializers.zeros,
+                                    (L, D))}
+
+        Le, Ld = cfg.N_enc, cfg.N_dec
+        self.enc_stack = {
+            'wq': lin('enc_self_wq', Le, D, D),
+            'wk': lin('enc_self_wk', Le, D, D),
+            'wv': lin('enc_self_wv', Le, D, D),
+            'wo': lin('enc_self_wo', Le, D, D),
+            'w1': lin('enc_ffn_w1', Le, D, F),
+            'w2': lin('enc_ffn_w2', Le, F, D),
+            'n1': ln('enc_norm1', Le), 'n2': ln('enc_norm2', Le)}
         self.enc_final_norm = RefLayerNorm()
 
-        self.dec_self = tuple(MHAProj(D, cfg.dtype) for _ in range(cfg.N_dec))
-        self.dec_src = tuple(MHAProj(D, cfg.dtype) for _ in range(cfg.N_dec))
-        self.dec_ffn = tuple(FFN(D, cfg.d_ff, cfg.dtype) for _ in range(cfg.N_dec))
-        self.dec_norm1 = tuple(RefLayerNorm() for _ in range(cfg.N_dec))
-        self.dec_norm2 = tuple(RefLayerNorm() for _ in range(cfg.N_dec))
-        self.dec_norm3 = tuple(RefLayerNorm() for _ in range(cfg.N_dec))
+        self.dec_stack = {
+            's_wq': lin('dec_self_wq', Ld, D, D),
+            's_wk': lin('dec_self_wk', Ld, D, D),
+            's_wv': lin('dec_self_wv', Ld, D, D),
+            's_wo': lin('dec_self_wo', Ld, D, D),
+            'c_wq': lin('dec_src_wq', Ld, D, D),
+            'c_wk': lin('dec_src_wk', Ld, D, D),
+            'c_wv': lin('dec_src_wv', Ld, D, D),
+            'c_wo': lin('dec_src_wo', Ld, D, D),
+            'w1': lin('dec_ffn_w1', Ld, D, F),
+            'w2': lin('dec_ffn_w2', Ld, F, D),
+            'n1': ln('dec_norm1', Ld), 'n2': ln('dec_norm2', Ld),
+            'n3': ln('dec_norm3', Ld)}
         self.dec_final_norm = RefLayerNorm()
 
         self.tgt_embed = self.param(
@@ -293,16 +378,6 @@ class TransformerCaptioner(nn.Module):
     def _attn_dropout(self, train: bool):
         return lambda p: self._dropout(p, self.cfg.dropout, train)
 
-    def _ffn_apply(self, ffn: FFN, x, train: bool):
-        return ffn.w_2(self._dropout(nn.relu(ffn.w_1(x)), self.cfg.dropout,
-                                     train))
-
-    def _lazy_cross(self, sproj, y, mem, att_masks, bw, dropout_fn,
-                    dropped: bool = False):
-        """See _lazy_cross_attend (module level, shared with bert_cap)."""
-        return _lazy_cross_attend(sproj, y, mem, att_masks, bw,
-                                  self.cfg.num_att_heads, dropout_fn, dropped)
-
     def _embed_tokens(self, ids, t0, train: bool):
         """Embeddings * sqrt(d) + PE (positions t0..t0+T) + dropout
         (reference :208-235)."""
@@ -314,9 +389,28 @@ class TransformerCaptioner(nn.Module):
         return self._dropout(x, cfg.dropout, train)
 
     # -- encoder -------------------------------------------------------------
-    def encode(self, att_feats, att_masks, train: bool = False):
+    def _enc_layer(self, x, lp, mask, train: bool):
+        """One encoder layer on sliced stacked params (shared by the
+        eval-mode layer scan and the unrolled train path)."""
         cfg = self.cfg
         h = cfg.num_att_heads
+        dt = cfg.dtype
+        y = _pln(x, lp['n1']['a'], lp['n1']['b'])
+        q = _split_heads(_plin(y, lp['wq'], dt), h)
+        k = _split_heads(_plin(y, lp['wk'], dt), h)
+        v = _split_heads(_plin(y, lp['wv'], dt), h)
+        y = _plin(_merge_heads(_attend(q, k, v, mask,
+                                       self._attn_dropout(train))),
+                  lp['wo'], dt)
+        x = x + self._dropout(y, cfg.dropout, train)
+        y = _plin(self._dropout(
+            nn.relu(_plin(_pln(x, lp['n2']['a'], lp['n2']['b']),
+                          lp['w1'], dt)), cfg.dropout, train), lp['w2'], dt)
+        x = x + self._dropout(y, cfg.dropout, train)
+        return x
+
+    def encode(self, att_feats, att_masks, train: bool = False):
+        cfg = self.cfg
         x = att_feats
         if self.att_bn_in is not None:
             x = self.att_bn_in(x, att_masks, train)
@@ -327,16 +421,16 @@ class TransformerCaptioner(nn.Module):
         mask = None
         if att_masks is not None:
             mask = att_masks[:, None, None, :]
-        for i in range(cfg.N_enc):
-            proj = self.enc_self[i]
-            y = self.enc_norm1[i](x)
-            q, k, v = (_split_heads(proj.wq(y), h), _split_heads(proj.wk(y), h),
-                       _split_heads(proj.wv(y), h))
-            y = proj.wo(_merge_heads(_attend(q, k, v, mask,
-                                             self._attn_dropout(train))))
-            x = x + self._dropout(y, cfg.dropout, train)
-            y = self._ffn_apply(self.enc_ffn[i], self.enc_norm2[i](x), train)
-            x = x + self._dropout(y, cfg.dropout, train)
+        if train:
+            # unrolled: layer dropout rngs come from the module rng counter
+            for i in range(cfg.N_enc):
+                lp = jax.tree.map(lambda p: p[i], self.enc_stack)
+                x = self._enc_layer(x, lp, mask, True)
+        elif cfg.N_enc:
+            # one compiled layer body, scanned over the param stacks
+            x, _ = jax.lax.scan(
+                lambda c, lp: (self._enc_layer(c, lp, mask, False), None),
+                x, self.enc_stack)
         return self.enc_final_norm(x)
 
     # -- engine protocol -----------------------------------------------------
@@ -344,29 +438,23 @@ class TransformerCaptioner(nn.Module):
                         train: bool = False):
         memory = self.encode(att_feats, att_masks, train)
         # Decode steps attend the raw memory with the K/V projections folded
-        # around the attention (_lazy_cross), so the reference's per-layer
-        # K/V decode caches (cachedTransformer.py:201-242) are never
-        # materialized — the "cache" is the memory itself.
-        if self.is_initializing():
-            # wk/wv are otherwise applied only by forward_tf; touch them so
-            # init creates the full (checkpoint-compatible) param tree
-            for i in range(self.cfg.N_dec):
-                _ = self.dec_src[i].wk(memory[:, :1])
-                _ = self.dec_src[i].wv(memory[:, :1])
+        # around the attention (_lazy_cross_stk), so the reference's
+        # per-layer K/V decode caches (cachedTransformer.py:201-242) are
+        # never materialized — the "cache" is the memory itself.
         return {'memory': memory, 'att_masks': att_masks}
 
     def init_state(self, batch_size: int):
-        # per-layer cache entries: each step updates one small tensor
-        # in place instead of copying an [B, N_dec, ...] monolith
+        # stacked caches [B, L, h, T, dk]: leading dim stays the batch (the
+        # engine's repeat/where/reorder tree maps assume it) while the layer
+        # scan reads/writes its layer via in-place dynamic slices
         cfg = self.cfg
         T = cfg.seq_length + 1  # bos + seq_length steps
         h = cfg.num_att_heads
         dk = cfg.d_model // h
-        state = {'t': jnp.zeros((batch_size,), jnp.int32)}
-        for i in range(cfg.N_dec):
-            state['k%d' % i] = jnp.zeros((batch_size, h, T, dk), cfg.dtype)
-            state['v%d' % i] = jnp.zeros((batch_size, h, T, dk), cfg.dtype)
-        return state
+        shape = (batch_size, cfg.N_dec, h, T, dk)
+        return {'t': jnp.zeros((batch_size,), jnp.int32),
+                'k': jnp.zeros(shape, cfg.dtype),
+                'v': jnp.zeros(shape, cfg.dtype)}
 
     def step(self, it, feats, state, train: bool = False,
              logsoftmax: bool = True, uniform_t: bool = False,
@@ -387,13 +475,15 @@ class TransformerCaptioner(nn.Module):
         cache permute per step)."""
         cfg = self.cfg
         h = cfg.num_att_heads
+        dt = cfg.dtype
         t_rows = state['t']                       # [B]
-        T = state['k0'].shape[-2]
+        K, V = state['k'], state['v']             # [B, L, h, T, dk]
+        T = K.shape[-2]
         B = it.shape[0]
         t0 = t_rows[0]
-        x = jnp.take(self.tgt_embed.astype(cfg.dtype), it[:, None], axis=0)
-        x = x * jnp.sqrt(jnp.asarray(cfg.d_model, cfg.dtype))
-        pe = self.pe.astype(cfg.dtype)
+        x = jnp.take(self.tgt_embed.astype(dt), it[:, None], axis=0)
+        x = x * jnp.sqrt(jnp.asarray(cfg.d_model, dt))
+        pe = self.pe.astype(dt)
         if uniform_t:
             x = x + jax.lax.dynamic_slice_in_dim(pe, t0, 1, axis=0)[None]
         else:
@@ -403,6 +493,7 @@ class TransformerCaptioner(nn.Module):
         new_state = dict(state, t=state['t'] + 1)
         # positions 0..t_row are valid after this step's write
         pos_ids = jnp.arange(T)
+        anc = time_mask = self_mask = None
         if uniform_t:
             self_mask = (pos_ids <= t0)[None, None, None, :]   # [1,1,1,T]
         else:
@@ -412,16 +503,10 @@ class TransformerCaptioner(nn.Module):
         # (sample_beam passes un-replicated memory when the model supports
         # shared feats); detected by shape so it works with either the
         # ancestry or the physical-reorder beam path
-        nb_feats = feats['memory'].shape[0]
-        cross_bw = B // nb_feats
+        mem, am = feats['memory'], feats['att_masks']
+        cross_bw = B // mem.shape[0]
 
         rows = jnp.arange(B)
-
-        def _cache_write(cache, new):              # new: [B, h, 1, dk]
-            if uniform_t:
-                return jax.lax.dynamic_update_slice_in_dim(
-                    cache, new, t0, axis=-2)
-            return cache.at[rows, :, t_rows, :].set(new[:, :, 0, :])
 
         if beam_width:
             slot = (rows % beam_width).astype(jnp.int32)
@@ -434,34 +519,67 @@ class TransformerCaptioner(nn.Module):
                 time_mask = pos_ids[None, :] <= t_rows[:, None]
             new_state['anc'] = anc
 
-        for i in range(cfg.N_dec):
-            proj = self.dec_self[i]
-            y = self.dec_norm1[i](x)
-            q = _split_heads(proj.wq(y), h)           # [B, h, 1, dk]
-            k_new = _split_heads(proj.wk(y), h)       # [B, h, 1, dk]
-            v_new = _split_heads(proj.wv(y), h)
-            k_cache = _cache_write(state['k%d' % i], k_new)
-            v_cache = _cache_write(state['v%d' % i], v_new)
-            new_state['k%d' % i] = k_cache
-            new_state['v%d' % i] = v_cache
-            if beam_width:
-                y = proj.wo(_merge_heads(_attend_beam(
-                    q, k_cache, v_cache, anc, time_mask, beam_width,
-                    self._attn_dropout(train))))
+        dropped = train and cfg.dropout > 0
+        zero = jnp.zeros((), jnp.int32)
+
+        def layer(x, lp, K, V, l):
+            """One decoder layer: write this step's K/V entry into layer
+            ``l`` of the stacked caches (small in-place dynamic update on
+            the scan carry), attend, cross-attend lazily, FFN.  ``l`` is a
+            Python int on the unrolled train path (static slices) and a
+            traced scalar inside the eval layer scan."""
+            y = _pln(x, lp['n1']['a'], lp['n1']['b'])
+            q = _split_heads(_plin(y, lp['s_wq'], dt), h)     # [B, h, 1, dk]
+            k_new = _split_heads(_plin(y, lp['s_wk'], dt), h)
+            v_new = _split_heads(_plin(y, lp['s_wv'], dt), h)
+            if uniform_t:
+                starts = (zero, l, zero, t0, zero)
+                K = jax.lax.dynamic_update_slice(K, k_new[:, None], starts)
+                V = jax.lax.dynamic_update_slice(V, v_new[:, None], starts)
             else:
-                y = proj.wo(_merge_heads(_attend(
+                K = K.at[rows, l, :, t_rows, :].set(k_new[:, :, 0, :])
+                V = V.at[rows, l, :, t_rows, :].set(v_new[:, :, 0, :])
+            k_cache = jax.lax.dynamic_index_in_dim(K, l, 1, keepdims=False)
+            v_cache = jax.lax.dynamic_index_in_dim(V, l, 1, keepdims=False)
+            if beam_width:
+                y = _plin(_merge_heads(_attend_beam(
+                    q, k_cache, v_cache, anc, time_mask, beam_width,
+                    self._attn_dropout(train))), lp['s_wo'], dt)
+            else:
+                y = _plin(_merge_heads(_attend(
                     q, k_cache, v_cache, self_mask,
-                    self._attn_dropout(train))))
+                    self._attn_dropout(train))), lp['s_wo'], dt)
             x = x + self._dropout(y, cfg.dropout, train)
 
-            y = self._lazy_cross(self.dec_src[i], self.dec_norm2[i](x),
-                                 feats['memory'], feats['att_masks'],
-                                 cross_bw, self._attn_dropout(train),
-                                 dropped=train and self.cfg.dropout > 0)
+            y = _lazy_cross_stk(
+                {'wq': lp['c_wq'], 'wk': lp['c_wk'],
+                 'wv': lp['c_wv'], 'wo': lp['c_wo']},
+                _pln(x, lp['n2']['a'], lp['n2']['b']), mem, am,
+                cross_bw, h, dt, self._attn_dropout(train), dropped)
             x = x + self._dropout(y, cfg.dropout, train)
 
-            y = self._ffn_apply(self.dec_ffn[i], self.dec_norm3[i](x), train)
+            y = _plin(self._dropout(
+                nn.relu(_plin(_pln(x, lp['n3']['a'], lp['n3']['b']),
+                              lp['w1'], dt)), cfg.dropout, train),
+                lp['w2'], dt)
             x = x + self._dropout(y, cfg.dropout, train)
+            return x, K, V
+
+        if train:
+            # unrolled so each layer's dropout rngs follow the module
+            # rng-counter order (rng-exact RL recompute relies on it)
+            for i in range(cfg.N_dec):
+                lp = jax.tree.map(lambda p: p[i], self.dec_stack)
+                x, K, V = layer(x, lp, K, V, i)
+        else:
+            def body(carry, xs):
+                lp, l = xs
+                x, K, V = carry
+                return layer(x, lp, K, V, l), None
+
+            (x, K, V), _ = jax.lax.scan(
+                body, (x, K, V), (self.dec_stack, jnp.arange(cfg.N_dec)))
+        new_state['k'], new_state['v'] = K, V
 
         x = self.dec_final_norm(x)[:, 0]
         logits = self.generator(x).astype(jnp.float32)
@@ -495,31 +613,37 @@ class TransformerCaptioner(nn.Module):
         if att_masks is not None:
             src_mask = att_masks[:, None, None, :]
 
+        dt = cfg.dtype
         x = self._embed_tokens(seq, 0, train)
         for i in range(cfg.N_dec):
-            proj = self.dec_self[i]
-            y = self.dec_norm1[i](x)
-            q, k, v = (_split_heads(proj.wq(y), h), _split_heads(proj.wk(y), h),
-                       _split_heads(proj.wv(y), h))
-            y = proj.wo(_merge_heads(_attend(q, k, v, tgt_mask,
-                                             self._attn_dropout(train))))
+            lp = jax.tree.map(lambda p: p[i], self.dec_stack)
+            y = _pln(x, lp['n1']['a'], lp['n1']['b'])
+            q = _split_heads(_plin(y, lp['s_wq'], dt), h)
+            k = _split_heads(_plin(y, lp['s_wk'], dt), h)
+            v = _split_heads(_plin(y, lp['s_wv'], dt), h)
+            y = _plin(_merge_heads(_attend(q, k, v, tgt_mask,
+                                           self._attn_dropout(train))),
+                      lp['s_wo'], dt)
             x = x + self._dropout(y, cfg.dropout, train)
 
-            sproj = self.dec_src[i]
-            y = self.dec_norm2[i](x)
-            q2 = _split_heads(sproj.wq(y), h)
-            mk = _split_heads(sproj.wk(memory), h)
-            mv = _split_heads(sproj.wv(memory), h)
+            y = _pln(x, lp['n2']['a'], lp['n2']['b'])
+            q2 = _split_heads(_plin(y, lp['c_wq'], dt), h)
+            mk = _split_heads(_plin(memory, lp['c_wk'], dt), h)
+            mv = _split_heads(_plin(memory, lp['c_wv'], dt), h)
             if seq_per_img > 1:
-                y = sproj.wo(_merge_heads(_attend_grouped(
+                y = _plin(_merge_heads(_attend_grouped(
                     q2.reshape(nb, seq_per_img, h, T, -1), mk, mv,
-                    att_masks, self._attn_dropout(train))))
+                    att_masks, self._attn_dropout(train))), lp['c_wo'], dt)
             else:
-                y = sproj.wo(_merge_heads(_attend(
-                    q2, mk, mv, src_mask, self._attn_dropout(train))))
+                y = _plin(_merge_heads(_attend(
+                    q2, mk, mv, src_mask, self._attn_dropout(train))),
+                    lp['c_wo'], dt)
             x = x + self._dropout(y, cfg.dropout, train)
 
-            y = self._ffn_apply(self.dec_ffn[i], self.dec_norm3[i](x), train)
+            y = _plin(self._dropout(
+                nn.relu(_plin(_pln(x, lp['n3']['a'], lp['n3']['b']),
+                              lp['w1'], dt)), cfg.dropout, train),
+                lp['w2'], dt)
             x = x + self._dropout(y, cfg.dropout, train)
         x = self.dec_final_norm(x)
         logits = self.generator(x).astype(jnp.float32)

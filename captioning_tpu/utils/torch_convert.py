@@ -192,30 +192,38 @@ def _convert_transformer(b: _TreeBuilder, sd, cfg):
     if cfg.use_bn == 2:
         b.batchnorm('att_bn_out', sd, 'att_embed.%d' % (i0 + 3))
 
+    # layer weights are STACKED on a leading [L] axis (the flax model scans
+    # over the stacks at eval; models/transformer.py setup)
+    def stack_linear(dst, srcs):
+        b.set(dst + '_kernel', np.stack([_t(sd[s + '.weight']) for s in srcs]))
+        b.set(dst + '_bias', np.stack([_a(sd[s + '.bias']) for s in srcs]))
+
+    def stack_norm(dst, srcs):
+        b.set(dst + '_a2', np.stack([_a(sd[s + '.a_2']) for s in srcs]))
+        b.set(dst + '_b2', np.stack([_a(sd[s + '.b_2']) for s in srcs]))
+
     names = ['wq', 'wk', 'wv', 'wo']
-    for i in range(cfg.N_enc):
-        base = 'model.encoder.layers.%d.' % i
-        for j, n in enumerate(names):
-            b.linear('enc_self_%d/%s' % (i, n), sd,
-                     base + 'self_attn.linears.%d' % j)
-        b.linear('enc_ffn_%d/w_1' % i, sd, base + 'feed_forward.w_1')
-        b.linear('enc_ffn_%d/w_2' % i, sd, base + 'feed_forward.w_2')
-        b.norm('enc_norm1_%d' % i, sd, base + 'sublayer.0.norm')
-        b.norm('enc_norm2_%d' % i, sd, base + 'sublayer.1.norm')
+    enc = ['model.encoder.layers.%d.' % i for i in range(cfg.N_enc)]
+    for j, n in enumerate(names):
+        stack_linear('enc_self_%s' % n,
+                     [e + 'self_attn.linears.%d' % j for e in enc])
+    stack_linear('enc_ffn_w1', [e + 'feed_forward.w_1' for e in enc])
+    stack_linear('enc_ffn_w2', [e + 'feed_forward.w_2' for e in enc])
+    stack_norm('enc_norm1', [e + 'sublayer.0.norm' for e in enc])
+    stack_norm('enc_norm2', [e + 'sublayer.1.norm' for e in enc])
     b.norm('enc_final_norm', sd, 'model.encoder.norm')
 
-    for i in range(cfg.N_dec):
-        base = 'model.decoder.layers.%d.' % i
-        for j, n in enumerate(names):
-            b.linear('dec_self_%d/%s' % (i, n), sd,
-                     base + 'self_attn.linears.%d' % j)
-            b.linear('dec_src_%d/%s' % (i, n), sd,
-                     base + 'src_attn.linears.%d' % j)
-        b.linear('dec_ffn_%d/w_1' % i, sd, base + 'feed_forward.w_1')
-        b.linear('dec_ffn_%d/w_2' % i, sd, base + 'feed_forward.w_2')
-        b.norm('dec_norm1_%d' % i, sd, base + 'sublayer.0.norm')
-        b.norm('dec_norm2_%d' % i, sd, base + 'sublayer.1.norm')
-        b.norm('dec_norm3_%d' % i, sd, base + 'sublayer.2.norm')
+    dec = ['model.decoder.layers.%d.' % i for i in range(cfg.N_dec)]
+    for j, n in enumerate(names):
+        stack_linear('dec_self_%s' % n,
+                     [d + 'self_attn.linears.%d' % j for d in dec])
+        stack_linear('dec_src_%s' % n,
+                     [d + 'src_attn.linears.%d' % j for d in dec])
+    stack_linear('dec_ffn_w1', [d + 'feed_forward.w_1' for d in dec])
+    stack_linear('dec_ffn_w2', [d + 'feed_forward.w_2' for d in dec])
+    stack_norm('dec_norm1', [d + 'sublayer.0.norm' for d in dec])
+    stack_norm('dec_norm2', [d + 'sublayer.1.norm' for d in dec])
+    stack_norm('dec_norm3', [d + 'sublayer.2.norm' for d in dec])
     b.norm('dec_final_norm', sd, 'model.decoder.norm')
 
     b.set('tgt_embed', _a(sd['model.tgt_embed.0.lut.weight']))

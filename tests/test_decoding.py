@@ -621,13 +621,14 @@ def test_grouped_tf_equals_replicated(model):
 
 @pytest.mark.slow  # compiles real model programs
 def test_lazy_cross_exact_under_attention_dropout():
-    """_lazy_cross == materialized cached-K/V cross-attention with the SAME
-    attention-dropout mask: the V bias must be weighted by the dropped
+    """_lazy_cross_stk == materialized cached-K/V cross-attention with the
+    SAME attention-dropout mask: the V bias must be weighted by the dropped
     probability mass (sum_m p_m), not by 1 (reference
     cachedTransformer.py:201-242 applies dropout to p and then p @ (mem@Wv
     + bv)).  Guards the train-mode RL decode path."""
     from types import SimpleNamespace
     from captioning_tpu.models import setup
+    from captioning_tpu.models.transformer import _lazy_cross_stk
 
     opt = SimpleNamespace(caption_model='transformer', vocab_size=15,
                           input_encoding_size=16, rnn_size=32, num_layers=2,
@@ -639,7 +640,6 @@ def test_lazy_cross_exact_under_attention_dropout():
     vocab = {str(i): 'w%d' % i for i in range(1, 16)}
     cap = setup(opt, vocab)
     variables = cap.init_params(jax.random.PRNGKey(0), att_len=4)
-    module = cap.module
     D, h, M, nb, bw = 16, 4, 4, 3, 2
     dk = D // h
     B = nb * bw
@@ -654,13 +654,19 @@ def test_lazy_cross_exact_under_attention_dropout():
         m = (jnp.arange(p.size).reshape(p.shape) % 3) != 0
         return jnp.where(m, p / keep, jnp.zeros_like(p))
 
-    out = module.apply(
-        variables, method=lambda mod: mod._lazy_cross(
-            mod.dec_src[0], y, mem, am, bw, fixed_drop, dropped=True))
+    # layer-0 slice of the stacked dec_src params
+    pt = jax.device_get(variables['params'])
+    lp = {n: {'kernel': jnp.asarray(pt['dec_src_%s_kernel' % n][0]),
+              'bias': jnp.asarray(pt['dec_src_%s_bias' % n][0])}
+          for n in ('wq', 'wk', 'wv', 'wo')}
+    out = _lazy_cross_stk(lp, y, mem, am, bw, h, jnp.float32, fixed_drop,
+                          dropped=True)
     out = np.asarray(out, np.float32)[:, 0]                   # [B, D]
 
     # materialized reference: q@(K+bk)^T -> softmax -> drop -> p@(V+bv) -> Wo
-    p_ = jax.device_get(variables['params']['dec_src_0'])
+    p_ = {n: {'kernel': pt['dec_src_%s_kernel' % n][0],
+              'bias': pt['dec_src_%s_bias' % n][0]}
+          for n in ('wq', 'wk', 'wv', 'wo')}
     q = (np.asarray(y[:, 0]) @ p_['wq']['kernel']) + p_['wq']['bias']
     k = (np.asarray(mem) @ p_['wk']['kernel']) + p_['wk']['bias']
     v = (np.asarray(mem) @ p_['wv']['kernel']) + p_['wv']['bias']
@@ -683,9 +689,8 @@ def test_lazy_cross_exact_under_attention_dropout():
 
     # and the old formulation (bias weight 1) must NOT match — the test
     # distinguishes the two
-    out_eval = module.apply(
-        variables, method=lambda mod: mod._lazy_cross(
-            mod.dec_src[0], y, mem, am, bw, fixed_drop, dropped=False))
+    out_eval = _lazy_cross_stk(lp, y, mem, am, bw, h, jnp.float32,
+                               fixed_drop, dropped=False)
     assert not np.allclose(np.asarray(out_eval)[:, 0], ref, atol=1e-5)
 
 
