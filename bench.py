@@ -23,6 +23,38 @@ import numpy as np
 
 REFERENCE_CAPTIONS_PER_SEC = 15.0  # estimated torch single-GPU baseline
 
+# published bf16 peaks per chip (TFLOP/s) for the MFU denominator
+_PEAK_BF16_TFLOPS = {
+    'TPU v2': 45.0, 'TPU v3': 123.0, 'TPU v4': 275.0,
+    'TPU v5 lite': 197.0, 'TPU v5e': 197.0, 'TPU v5': 459.0,
+    'TPU v5p': 459.0, 'TPU v6 lite': 918.0, 'TPU v6e': 918.0,
+}
+
+
+def _chip_peak_tflops(device) -> float:
+    kind = getattr(device, 'device_kind', '') or ''
+    for name, peak in sorted(_PEAK_BF16_TFLOPS.items(),
+                             key=lambda kv: -len(kv[0])):
+        if kind.startswith(name):
+            return peak
+    return 197.0  # default to the v5e-class chip the bench runs on
+
+
+def decode_step_flops(opt, n_mem: int, cache_len: int) -> float:
+    """FLOP model of ONE transformer decode step for ONE lane.
+
+    Matmul FLOPs only (2*m*n*k), the >99% term: per layer the q/k/v/o
+    self projections (8d^2), the ancestry attend over the cache (4*T*d),
+    the lazy cross-attention (8d^2 fold/projections + 4*M*d scores/ctx),
+    the FFN (4*d*ff); plus the vocab logits (2*d*V).  Layernorms,
+    softmaxes and the embedding gather are bandwidth, not FLOPs, and are
+    deliberately excluded — this is the numerator of an honest MFU.
+    """
+    d, f, L = opt.d_model, opt.d_ff, opt.N_dec
+    per_layer = 16.0 * d * d + 4.0 * cache_len * d + 4.0 * n_mem * d \
+        + 4.0 * d * f
+    return L * per_layer + 2.0 * d * (opt.vocab_size + 1)
+
 
 def main():
     import jax
@@ -79,15 +111,31 @@ def main():
     dt = time.time() - t0
     cps = B * iters / dt
 
+    # MFU against the chip's published bf16 peak: FLOP model of the full
+    # beam decode (5 lanes/caption, max_length+1 steps/lane) over measured
+    # wall time — progress vs physics, not only vs the torch estimate
+    # (decode_step_flops documents what's counted)
+    lanes = B * beam_opt['beam_size']
+    steps = opt.max_length + 1
+    flops_per_iter = decode_step_flops(opt, n_mem=36, cache_len=steps) \
+        * lanes * steps
+    peak = _chip_peak_tflops(jax.devices()[0]) * 1e12
+    mfu_pct = 100.0 * flops_per_iter * iters / dt / peak
+
     print(json.dumps({
         'metric': 'captions_per_sec_per_chip_beam5_transformer',
         'value': round(cps, 2),
         'unit': 'captions/s',
         'vs_baseline': round(cps / REFERENCE_CAPTIONS_PER_SEC, 2),
+        'mfu_pct': round(mfu_pct, 2),
+        'compile_s': round(compile_s, 1),
     }))
     import sys
-    print('details: batch=%d iters=%d steady=%.2fs compile=%.1fs' %
-          (B, iters, dt, compile_s), file=sys.stderr)
+    print('details: batch=%d iters=%d steady=%.2fs compile=%.1fs '
+          'mfu=%.2f%% (%.1f MFLOP/lane/step, peak %.0f TF/s)' %
+          (B, iters, dt, compile_s, mfu_pct,
+           decode_step_flops(opt, 36, steps) / 1e6, peak / 1e12),
+          file=sys.stderr)
 
 
 if __name__ == '__main__':
