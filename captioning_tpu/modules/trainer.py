@@ -192,9 +192,11 @@ class Trainer:
                       ref_mask, lr, rng_greedy, rng_sample,
                       device_scorer):
         """Fully-fused SCST iteration: greedy baseline + sampling + on-device
-        CIDEr-D reward (ops/cider_device.py) + policy gradient in ONE jitted
-        program — zero host synchronization inside the RL loop (the
-        host/device boundary SURVEY.md 5.8 calls out is gone entirely).
+        mixed reward (cider_reward_weight * CIDEr-D + bleu_reward_weight *
+        BLEU-4, ops/cider_device.py; reference rewards.py:60-74) + policy
+        gradient in ONE jitted program — zero host synchronization inside
+        the RL loop (the host/device boundary SURVEY.md 5.8 calls out is
+        gone entirely).
 
         Gradients flow through the sampling scan's logprobs directly (the
         same forward the tokens came from), exactly like the reference's
@@ -210,6 +212,7 @@ class Trainer:
                       'beam_size': opt.train_beam_size,
                       'sample_n': opt.train_sample_n}
             cider_w = float(opt.cider_reward_weight)
+            bleu_w = float(getattr(opt, 'bleu_reward_weight', 0))
 
             def loss_fn(variables, fc, att, am, refs, ref_mask,
                         rng_greedy, rng_sample):
@@ -226,7 +229,7 @@ class Trainer:
                 gen_seq, gen_logprobs = decoding.sample(
                     dm_train, fc, att, am, rng_sample, tr_opt)
                 reward = device_scorer.self_critical_reward(
-                    greedy_seq, gen_seq, refs, ref_mask, cider_w)
+                    greedy_seq, gen_seq, refs, ref_mask, cider_w, bleu_w)
                 reward = jax.lax.stop_gradient(reward)
                 loss = losses.reward_criterion(gen_logprobs, gen_seq, reward)
                 return loss, reward[:, 0].mean()
@@ -277,6 +280,7 @@ class Trainer:
                       'output_logsoftmax': out_ls,
                       'sample_n': sample_n}
             cider_w = float(opt.cider_reward_weight)
+            bleu_w = float(getattr(opt, 'bleu_reward_weight', 0))
             entropy_w = float(getattr(opt, 'entropy_reward_weight', 0))
             old_variables = self.old_variables
 
@@ -294,7 +298,8 @@ class Trainer:
                 gen_seq, gen_lp = decoding.sample(dm, fc, att, am, rng,
                                                   tr_opt)
                 scores = device_scorer.score_grouped(
-                    gen_seq, refs, ref_mask, sample_n) * cider_w
+                    gen_seq, refs, ref_mask, sample_n,
+                    cider_weight=cider_w, bleu_weight=bleu_w)
                 scores = jax.lax.stop_gradient(scores.astype(jnp.float32))
                 if use_ppo:
                     dm_old = cap.bind(old_variables, train=False)

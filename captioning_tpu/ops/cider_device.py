@@ -192,6 +192,64 @@ class DeviceCiderD:
         n_refs = jnp.maximum(ref_mask.sum(-1), 1.0)
         return per_ref.sum(-1) / n_refs
 
+    def _bleu4_grouped(self, c_stats, r_stats, ref_mask):
+        """Per-sentence BLEU-4 (coco-caption semantics: tiny/small smoothing,
+        closest-ref-length brevity penalty with shorter-length tie-break) for
+        cand stats [B, k, ...] x ref stats [B, R, ...] -> [B, k].
+
+        Matches ``utils/cider_scorer.py:Bleu`` (itself the behavioural port
+        of the reference's pycocoevalcap BLEU used for mixed SCST rewards,
+        reference rewards.py:60-67) on the same id-string sequences; computed
+        in log space so the tiny/small-smoothed products stay inside f32
+        range.
+        """
+        small, tiny = 1e-9, 1e-15
+        # per-ref multiplicities of every candidate n-gram: [B, k, R, n, L]
+        m = self._multiplicity(
+            c_stats['h1'][:, :, None], c_stats['h2'][:, :, None],
+            c_stats['valid'][:, :, None].astype(jnp.float32),
+            r_stats['h1'][:, None], r_stats['h2'][:, None],
+            r_stats['valid'][:, None])
+        m = m * ref_mask[:, None, :, None, None]
+        rmax = jnp.max(m, axis=2)                       # [B, k, n, L]
+        c = c_stats['count']
+        # sum over positions of min(c, rmax)/c == sum over TYPES of
+        # min(c, rmax): clipped correct counts per n
+        correct = jnp.sum(
+            jnp.where(c > 0, jnp.minimum(c, rmax) / jnp.maximum(c, 1.0), 0.0),
+            axis=-1)                                    # [B, k, n]
+        guess = jnp.sum(c_stats['valid'], axis=-1).astype(jnp.float32)
+        testlen = guess[..., 0]                         # [B, k]
+        # closest reference length, ties -> shorter (host: min((diff, len)))
+        rlen = jnp.sum(r_stats['valid'][..., 0, :], axis=-1)      # [B, R] int
+        big = r_stats['valid'].shape[-1] + 2
+        tl = testlen.astype(jnp.int32)
+        diff = jnp.abs(rlen[:, None, :] - tl[:, :, None])         # [B, k, R]
+        key = diff * big + rlen[:, None, :]
+        key = jnp.where(ref_mask[:, None, :] > 0, key, jnp.int32(2 ** 30))
+        reflen = (jnp.min(key, axis=-1) % big).astype(jnp.float32)
+        log_prec = jnp.log(correct + tiny) - jnp.log(guess + small)
+        ratio = (testlen + tiny) / (reflen + small)
+        log_bp = jnp.where(ratio < 1, 1.0 - 1.0 / jnp.maximum(ratio, tiny),
+                           0.0)
+        return jnp.exp(jnp.sum(log_prec, axis=-1) / MAX_N + log_bp)
+
+    def _mixed_score_grouped(self, c_stats, r_stats, ref_mask,
+                             cider_weight, bleu_weight):
+        """cider_weight * CIDEr-D + bleu_weight * BLEU-4 over grouped stats
+        (weights are trace-time python floats; a zero weight removes that
+        scorer from the compiled program entirely)."""
+        out = 0.0
+        if cider_weight:
+            out = self._mean_score_grouped(c_stats, r_stats,
+                                           ref_mask) * cider_weight
+        if bleu_weight:
+            out = out + self._bleu4_grouped(c_stats, r_stats,
+                                            ref_mask) * bleu_weight
+        if isinstance(out, float):
+            out = jnp.zeros(c_stats['norm'].shape[:2], jnp.float32)
+        return out
+
     def _mean_score_grouped(self, c_stats, r_stats, ref_mask):
         """cand stats [B, k, ...] x ref stats [B, R, ...] -> [B, k]."""
         c_exp = jax.tree.map(lambda x: x[:, :, None], c_stats)
@@ -201,8 +259,10 @@ class DeviceCiderD:
         n_refs = jnp.maximum(ref_mask.sum(-1), 1.0)[:, None]
         return per_ref.sum(-1) / n_refs
 
-    def score_grouped(self, cands, refs, ref_mask, n: int):
-        """cands [B*n, L]; refs [B, R, Lr]; ref_mask [B, R] -> scores [B*n].
+    def score_grouped(self, cands, refs, ref_mask, n: int,
+                      cider_weight: float = 1.0, bleu_weight: float = 0.0):
+        """cands [B*n, L]; refs [B, R, Lr]; ref_mask [B, R] -> scores [B*n]
+        (cider_weight * CIDEr-D + bleu_weight * BLEU-4).
 
         Same result as ``score(cands, repeat(refs, n), repeat(mask, n))``
         but the reference sentence_stats (the pairwise-equality count tensor
@@ -216,13 +276,17 @@ class DeviceCiderD:
         c_stats = jax.tree.map(
             lambda x: x.reshape((B, n) + x.shape[1:]),
             self.sentence_stats(cands))
-        return self._mean_score_grouped(c_stats, r_stats,
-                                        ref_mask).reshape(B * n)
+        return self._mixed_score_grouped(
+            c_stats, r_stats, ref_mask, cider_weight,
+            bleu_weight).reshape(B * n)
 
     def self_critical_reward(self, greedy, gen, refs, ref_mask,
-                             cider_weight: float = 1.0):
+                             cider_weight: float = 1.0,
+                             bleu_weight: float = 0.0):
         """get_self_critical_reward (reference rewards.py:41-81), fully on
-        device.  greedy [B, L]; gen [B*n, L]; refs [B, R, Lr];
+        device, with the reference's mixed reward
+        cider_weight * CIDEr-D + bleu_weight * BLEU-4 (rewards.py:60-74).
+        greedy [B, L]; gen [B*n, L]; refs [B, R, Lr];
         ref_mask [B, R] -> rewards [B*n, L].
 
         Reference sentence stats are computed once and shared by the n
@@ -240,10 +304,10 @@ class DeviceCiderD:
             self.sentence_stats(gen))
         gr_stats = jax.tree.map(lambda x: x[:, None],
                                 self.sentence_stats(greedy))
-        s_gen = self._mean_score_grouped(g_stats, r_stats,
-                                         ref_mask) * cider_weight  # [B, n]
-        s_greedy = self._mean_score_grouped(
-            gr_stats, r_stats, ref_mask)[:, 0] * cider_weight      # [B]
+        s_gen = self._mixed_score_grouped(
+            g_stats, r_stats, ref_mask, cider_weight, bleu_weight)  # [B, n]
+        s_greedy = self._mixed_score_grouped(
+            gr_stats, r_stats, ref_mask, cider_weight, bleu_weight)[:, 0]
         adv = (s_gen - s_greedy[:, None]).reshape(N)
         return jnp.repeat(adv[:, None], gen.shape[1], axis=1)
 

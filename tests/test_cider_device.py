@@ -187,3 +187,107 @@ def test_struc_fused_step_runs(ds):
             jnp.asarray(refs), jnp.asarray(mask), 1e-4, r1, r2, dev)
     assert np.isfinite(float(out['loss']))
     assert np.isfinite(float(np.asarray(out['reward']).mean()))
+
+
+def test_device_bleu4_matches_python(ds):
+    """Device BLEU-4 (per-image, closest-BP, tiny/small smoothing) must
+    match the host Bleu scorer (utils/cider_scorer.py:Bleu, the behavioural
+    port of the reference's pycocoevalcap BLEU, reference rewards.py:60-67)
+    on the same id-string sequences."""
+    from captioning_tpu.ops.cider_device import DeviceCiderD, pad_gts
+    from captioning_tpu.utils.cider_scorer import Bleu
+    from captioning_tpu.utils.rewards import array_to_str
+
+    dev = DeviceCiderD(ds.cached_tokens)
+    rng = np.random.RandomState(3)
+    B, n, L = 6, 3, 9
+    gen = rng.randint(0, 26, (B * n, L)).astype(np.int32)
+    # include degenerate candidates: immediate eos, repeated tokens
+    gen[0, 0] = 0
+    gen[1] = 7
+    gts = [rng.randint(1, 26, (rng.randint(2, 6), rng.randint(4, 8)))
+           for _ in range(B)]
+    for g in gts:
+        g[:, -1] = 0
+
+    res = {i: [array_to_str(gen[i])] for i in range(B * n)}
+    gts_map = {i: [array_to_str(g[j]) for j in range(len(g))]
+               for i, g in enumerate(gts)}
+    gts_for = {i: gts_map[i // n] for i in range(B * n)}
+    _, per_n = Bleu(4).compute_score(gts_for, res)
+    py_scores = np.asarray(per_n[3])
+
+    refs, mask = pad_gts(gts)
+    dev_scores = np.asarray(dev.score_grouped(
+        jnp.asarray(gen), jnp.asarray(refs), jnp.asarray(mask), n,
+        cider_weight=0.0, bleu_weight=1.0))
+    assert np.allclose(py_scores, dev_scores, atol=1e-4), \
+        np.abs(py_scores - dev_scores).max()
+
+
+def test_device_mixed_self_critical_reward_matches(ds):
+    """Mixed cider+bleu SCST reward on device == host get_self_critical_reward
+    (reference rewards.py:60-74 weighting)."""
+    from captioning_tpu.ops.cider_device import DeviceCiderD, pad_gts
+    from captioning_tpu.utils import rewards
+    from captioning_tpu.utils.cider_scorer import Bleu, CiderD
+
+    rewards.CiderD_scorer = CiderD(df=ds.cached_tokens)
+    rewards.Bleu_scorer = Bleu(4)
+
+    class Opt:
+        cider_reward_weight = 1.0
+        bleu_reward_weight = 2.5
+
+    rng = np.random.RandomState(4)
+    B, n, L = 4, 2, 8
+    greedy = rng.randint(0, 26, (B, L)).astype(np.int32)
+    gen = rng.randint(0, 26, (B * n, L)).astype(np.int32)
+    gts = [rng.randint(1, 26, (3, 6)) for _ in range(B)]
+    for g in gts:
+        g[:, -1] = 0
+
+    ref_reward = rewards.get_self_critical_reward(greedy, gts, gen, Opt())
+
+    dev = DeviceCiderD(ds.cached_tokens)
+    refs, mask = pad_gts(gts)
+    dev_reward = np.asarray(dev.self_critical_reward(
+        jnp.asarray(greedy), jnp.asarray(gen), jnp.asarray(refs),
+        jnp.asarray(mask), cider_weight=1.0, bleu_weight=2.5))
+    assert np.allclose(ref_reward, dev_reward, atol=1e-4), \
+        np.abs(ref_reward - dev_reward).max()
+    rewards.CiderD_scorer = None
+    rewards.Bleu_scorer = None
+
+
+def test_device_grouped_scores_match_host_get_scores_mixed(ds):
+    """score_grouped with mixed weights == host get_scores (struc-loss
+    reward path, reference rewards.py:83-114)."""
+    from captioning_tpu.ops.cider_device import DeviceCiderD, pad_gts
+    from captioning_tpu.utils import rewards
+    from captioning_tpu.utils.cider_scorer import Bleu, CiderD
+
+    rewards.CiderD_scorer = CiderD(df=ds.cached_tokens)
+    rewards.Bleu_scorer = Bleu(4)
+
+    class Opt:
+        cider_reward_weight = 0.7
+        bleu_reward_weight = 3.0
+
+    rng = np.random.RandomState(5)
+    B, n, L = 5, 2, 7
+    gen = rng.randint(0, 26, (B * n, L)).astype(np.int32)
+    gts = [rng.randint(1, 26, (3, 6)) for _ in range(B)]
+    for g in gts:
+        g[:, -1] = 0
+
+    host = rewards.get_scores(gts, gen, Opt())
+    dev = DeviceCiderD(ds.cached_tokens)
+    refs, mask = pad_gts(gts)
+    dev_scores = np.asarray(dev.score_grouped(
+        jnp.asarray(gen), jnp.asarray(refs), jnp.asarray(mask), n,
+        cider_weight=0.7, bleu_weight=3.0))
+    assert np.allclose(host, dev_scores, atol=1e-4), \
+        np.abs(host - dev_scores).max()
+    rewards.CiderD_scorer = None
+    rewards.Bleu_scorer = None

@@ -343,10 +343,11 @@ def train(opt):
             out = {}
             # --on_device_cider: -1 auto / 1 on / 0 off. Auto (the
             # production default) takes the fused path whenever eligible:
-            # pure-CIDEr reward, no drop-worst, no self-cider.
+            # CIDEr-D and/or BLEU-4 reward (both on device), no drop-worst,
+            # no self-cider.
             if struc_flag and getattr(opt, 'on_device_cider', -1) != 0 and \
-                    opt.cider_reward_weight > 0 and \
-                    opt.bleu_reward_weight == 0 and \
+                    (opt.cider_reward_weight > 0 or
+                     opt.bleu_reward_weight > 0) and \
                     getattr(opt, 'self_cider_reward_weight', 0) == 0 and \
                     not drop_worst_flag:
                 # fully fused structure-loss (NSC, PPO, ...) iteration
@@ -393,8 +394,8 @@ def train(opt):
                     opt.current_lr, ss_prob, step_rng,
                     drop_worst_flag=drop_worst_flag)
             elif getattr(opt, 'on_device_cider', -1) != 0 and \
-                    opt.cider_reward_weight > 0 and \
-                    opt.bleu_reward_weight == 0 and not drop_worst_flag:
+                    (opt.cider_reward_weight > 0 or
+                     opt.bleu_reward_weight > 0) and not drop_worst_flag:
                 # fully fused SCST: no host sync inside the iteration
                 import jax.numpy as jnp
                 if device_scorer is None:
