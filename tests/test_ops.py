@@ -132,3 +132,21 @@ def test_pallas_topk_matches_lax_top_k():
     v1, i1 = topk_lastdim(jnp.asarray(x), 4, block_n=128, interpret=True)
     assert np.array_equal(np.asarray(v0), np.asarray(v1))
     assert np.array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_anc_attend_fused_matches_ref():
+    """Fused beam ancestry-attention over the stacked KV cache (interpret
+    mode) vs the jnp slice+attend reference, across layer/time scalars."""
+    from captioning_tpu.ops.anc_attend import anc_attend, anc_attend_ref
+    rng = np.random.RandomState(7)
+    N, L, h, T, dk, bw = 20, 3, 4, 9, 8, 5
+    K = jnp.asarray(rng.randn(N, L, h, T, dk).astype('float32'))
+    V = jnp.asarray(rng.randn(N, L, h, T, dk).astype('float32'))
+    q = jnp.asarray(rng.randn(N, h * dk).astype('float32'))
+    anc = jnp.asarray(rng.randint(0, bw, (N, T)).astype('int32'))
+    for l in (0, L - 1):
+        for t in (0, 3, T - 1):
+            a = anc_attend_ref(K, V, q, anc, jnp.int32(l), jnp.int32(t), bw)
+            b = anc_attend(K, V, q, anc, jnp.int32(l), jnp.int32(t), bw,
+                           interpret=True)
+            assert float(jnp.abs(a - b).max()) < 1e-5, (l, t)
