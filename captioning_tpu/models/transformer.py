@@ -444,17 +444,24 @@ class TransformerCaptioner(nn.Module):
         return {'memory': memory, 'att_masks': att_masks}
 
     def init_state(self, batch_size: int):
-        # stacked caches [B, L, h, T, dk]: leading dim stays the batch (the
-        # engine's repeat/where/reorder tree maps assume it) while the layer
-        # scan reads/writes its layer via in-place dynamic slices
+        # PER-LAYER caches [B, h, T, dk] (k0..k{L-1}/v0..v{L-1}), not one
+        # stacked [B, L, h, T, dk] tensor: stacking was measured on the v5e
+        # to cost ~9 ms/step at the beam-5 B=1024 headline shape (2916 ->
+        # 1909 cap/s) regardless of whether the layer loop is unrolled
+        # (static slices) or scanned — the per-layer dynamic-update-slices
+        # into the shared 110 MB buffer defeat XLA's in-place aliasing in
+        # the decode while-loop.  Separate buffers alias cleanly.  The
+        # PARAM stacks stay (that is where the 665 s -> ~70 s cold-compile
+        # win lives).
         cfg = self.cfg
         T = cfg.seq_length + 1  # bos + seq_length steps
         h = cfg.num_att_heads
         dk = cfg.d_model // h
-        shape = (batch_size, cfg.N_dec, h, T, dk)
-        return {'t': jnp.zeros((batch_size,), jnp.int32),
-                'k': jnp.zeros(shape, cfg.dtype),
-                'v': jnp.zeros(shape, cfg.dtype)}
+        state = {'t': jnp.zeros((batch_size,), jnp.int32)}
+        for i in range(cfg.N_dec):
+            state['k%d' % i] = jnp.zeros((batch_size, h, T, dk), cfg.dtype)
+            state['v%d' % i] = jnp.zeros((batch_size, h, T, dk), cfg.dtype)
+        return state
 
     def step(self, it, feats, state, train: bool = False,
              logsoftmax: bool = True, uniform_t: bool = False,
@@ -477,8 +484,7 @@ class TransformerCaptioner(nn.Module):
         h = cfg.num_att_heads
         dt = cfg.dtype
         t_rows = state['t']                       # [B]
-        K, V = state['k'], state['v']             # [B, L, h, T, dk]
-        T = K.shape[-2]
+        T = state['k0'].shape[-2]
         B = it.shape[0]
         t0 = t_rows[0]
         x = jnp.take(self.tgt_embed.astype(dt), it[:, None], axis=0)
@@ -520,27 +526,25 @@ class TransformerCaptioner(nn.Module):
             new_state['anc'] = anc
 
         dropped = train and cfg.dropout > 0
-        zero = jnp.zeros((), jnp.int32)
 
-        def layer(x, lp, K, V, l):
-            """One decoder layer: write this step's K/V entry into layer
-            ``l`` of the stacked caches (small in-place dynamic update on
-            the scan carry), attend, cross-attend lazily, FFN.  ``l`` is a
-            Python int on the unrolled train path (static slices) and a
-            traced scalar inside the eval layer scan."""
+        def layer(x, lp, k_cache, v_cache):
+            """One decoder layer on its own [B, h, T, dk] caches: write this
+            step's K/V entry in place (XLA aliases the per-layer buffers
+            through the decode while-loop carry), attend, cross-attend
+            lazily, FFN.  Params come pre-sliced from the [L]-stacked
+            arrays (static index, free)."""
             y = _pln(x, lp['n1']['a'], lp['n1']['b'])
             q = _split_heads(_plin(y, lp['s_wq'], dt), h)     # [B, h, 1, dk]
             k_new = _split_heads(_plin(y, lp['s_wk'], dt), h)
             v_new = _split_heads(_plin(y, lp['s_wv'], dt), h)
             if uniform_t:
-                starts = (zero, l, zero, t0, zero)
-                K = jax.lax.dynamic_update_slice(K, k_new[:, None], starts)
-                V = jax.lax.dynamic_update_slice(V, v_new[:, None], starts)
+                k_cache = jax.lax.dynamic_update_slice_in_dim(
+                    k_cache, k_new, t0, axis=2)
+                v_cache = jax.lax.dynamic_update_slice_in_dim(
+                    v_cache, v_new, t0, axis=2)
             else:
-                K = K.at[rows, l, :, t_rows, :].set(k_new[:, :, 0, :])
-                V = V.at[rows, l, :, t_rows, :].set(v_new[:, :, 0, :])
-            k_cache = jax.lax.dynamic_index_in_dim(K, l, 1, keepdims=False)
-            v_cache = jax.lax.dynamic_index_in_dim(V, l, 1, keepdims=False)
+                k_cache = k_cache.at[rows, :, t_rows, :].set(k_new[:, :, 0, :])
+                v_cache = v_cache.at[rows, :, t_rows, :].set(v_new[:, :, 0, :])
             if beam_width:
                 y = _plin(_merge_heads(_attend_beam(
                     q, k_cache, v_cache, anc, time_mask, beam_width,
@@ -563,23 +567,18 @@ class TransformerCaptioner(nn.Module):
                               lp['w1'], dt)), cfg.dropout, train),
                 lp['w2'], dt)
             x = x + self._dropout(y, cfg.dropout, train)
-            return x, K, V
+            return x, k_cache, v_cache
 
-        if train:
-            # unrolled so each layer's dropout rngs follow the module
-            # rng-counter order (rng-exact RL recompute relies on it)
-            for i in range(cfg.N_dec):
-                lp = jax.tree.map(lambda p: p[i], self.dec_stack)
-                x, K, V = layer(x, lp, K, V, i)
-        else:
-            def body(carry, xs):
-                lp, l = xs
-                x, K, V = carry
-                return layer(x, lp, K, V, l), None
-
-            (x, K, V), _ = jax.lax.scan(
-                body, (x, K, V), (self.dec_stack, jnp.arange(cfg.N_dec)))
-        new_state['k'], new_state['v'] = K, V
+        # Always unrolled: train needs the module rng-counter order per
+        # layer (rng-exact RL recompute), and eval keeps per-layer cache
+        # buffers (see init_state) that a layer scan cannot carry without
+        # re-stacking them every step.  Compile cost is carried by the
+        # param stacks, not the unroll: cold compile measured ~67 s
+        # unrolled vs 665 s with unstacked per-layer params.
+        for i in range(cfg.N_dec):
+            lp = jax.tree.map(lambda p: p[i], self.dec_stack)
+            x, new_state['k%d' % i], new_state['v%d' % i] = layer(
+                x, lp, state['k%d' % i], state['v%d' % i])
 
         x = self.dec_final_norm(x)[:, 0]
         logits = self.generator(x).astype(jnp.float32)

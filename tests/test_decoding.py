@@ -619,6 +619,42 @@ def test_grouped_tf_equals_replicated(model):
                        atol=1e-4), model
 
 
+def test_lazy_cross_eval_matches_materialized_tiny():
+    """Quick-tier lazy-cross sentinel: eval-mode _lazy_cross_stk equals the
+    materialized q@(K+bk)^T -> softmax -> p@(V+bv) -> Wo formulation it
+    replaced (reference cachedTransformer.py:201-242 semantics), on
+    hand-built params so no model program compiles.  The full train-mode
+    dropout variants live in the slow tier below."""
+    from captioning_tpu.models.transformer import _lazy_cross_stk
+
+    D, h, M, nb, bw = 16, 4, 5, 3, 2
+    dk = D // h
+    B = nb * bw
+    rng = np.random.RandomState(7)
+    y = jnp.asarray(rng.randn(B, 1, D), jnp.float32)
+    mem = jnp.asarray(rng.randn(nb, M, D), jnp.float32)
+    am = jnp.asarray((rng.rand(nb, M) > 0.3).astype('float32'))
+    lp = {n: {'kernel': jnp.asarray(rng.randn(D, D) * 0.2, jnp.float32),
+              'bias': jnp.asarray(rng.randn(D) * 0.1, jnp.float32)}
+          for n in ('wq', 'wk', 'wv', 'wo')}
+    out = np.asarray(_lazy_cross_stk(lp, y, mem, am, bw, h, jnp.float32,
+                                     lambda p: p))[:, 0]
+
+    p_ = {n: {k: np.asarray(v) for k, v in d.items()} for n, d in lp.items()}
+    q = np.asarray(y[:, 0]) @ p_['wq']['kernel'] + p_['wq']['bias']
+    k = np.asarray(mem) @ p_['wk']['kernel'] + p_['wk']['bias']
+    v = np.asarray(mem) @ p_['wv']['kernel'] + p_['wv']['bias']
+    rep = np.repeat(np.arange(nb), bw)
+    scores = np.einsum('bhd,bmhd->bhm', q.reshape(B, h, dk),
+                       k.reshape(nb, M, h, dk)[rep]) / np.sqrt(dk)
+    scores = np.where(np.asarray(am)[rep][:, None, :] == 0, -1e9, scores)
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    ctx = np.einsum('bhm,bmhd->bhd', p, v.reshape(nb, M, h, dk)[rep])
+    ref = ctx.reshape(B, D) @ p_['wo']['kernel'] + p_['wo']['bias']
+    assert np.allclose(out, ref, atol=1e-5), np.abs(out - ref).max()
+
+
 @pytest.mark.slow  # compiles real model programs
 def test_lazy_cross_exact_under_attention_dropout():
     """_lazy_cross_stk == materialized cached-K/V cross-attention with the
