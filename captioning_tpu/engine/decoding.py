@@ -540,6 +540,53 @@ def _select_rows(tbl, ix):
     return jnp.where(oh[..., None], tbl[:, None], zero).sum(2)
 
 
+def _topk_iterated(cand, B, bdash, k):
+    """``lax.top_k(cand.reshape(B, bdash * V1), k)`` without the padded-tile
+    remap: exact values, indices, order, and tie semantics.
+
+    ``cand`` is the fresh [B*bdash, V1] candidates table.  Flattening
+    (bdash, V1) into one minor dim is NOT a layout bitcast on TPU (V1 is
+    not a multiple of the 128-lane tile), so the flat ``lax.top_k`` call
+    costs two full-table layout copies plus a transposed copy into the
+    TopK custom call's preferred layout — profiled at ~1.8 ms/step on top
+    of the 1.1 ms sort at the production shape [5120, 9488].  Here each of
+    the k winners comes from ONE fused variadic-reduce pass (max, argmax)
+    over the table in its native layout — reshaping [B*bdash, V1] to
+    [B, bdash, V1] splits the MAJOR dim, which is free — with previously
+    chosen flat indices excluded inside the reduce's input fusion.
+
+    Tie semantics match ``lax.top_k`` exactly: equal values resolve to the
+    smaller flat index (the comparator prefers lower index on value ties,
+    and exclusion rewrites a chosen element to (-inf, INT32_MAX) so even
+    legitimate -inf entries — log_softmax underflow — are re-picked before
+    any excluded slot).  Returns (values [B, k], flat indices [B, k])."""
+    V1 = cand.shape[-1]
+    c3 = cand.reshape(B, bdash, V1)
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (B, bdash, V1), 1) * V1 +
+            jax.lax.broadcasted_iota(jnp.int32, (B, bdash, V1), 2))
+    imax = jnp.int32(np.iinfo(np.int32).max)
+    ninf = jnp.float32(-jnp.inf)
+
+    def _cmp(a, b):
+        av, ai = a
+        bv, bi = b
+        take_a = (av > bv) | ((av == bv) & (ai < bi))
+        return (jnp.where(take_a, av, bv), jnp.where(take_a, ai, bi))
+
+    ys, ix = [], []
+    for _ in range(k):
+        v = c3
+        fi = flat
+        for cj in ix:
+            hit = flat == cj[:, None, None]
+            v = jnp.where(hit, ninf, v)
+            fi = jnp.where(hit, imax, fi)
+        mv, mi = jax.lax.reduce((v, fi), (ninf, imax), _cmp, (1, 2))
+        ys.append(mv)
+        ix.append(mi)
+    return jnp.stack(ys, axis=1), jnp.stack(ix, axis=1)
+
+
 def _beam_search_fast(dm: DecodeModel, init_logprobs, init_state,
                       feats_per_beam, rng, opt: Dict[str, Any],
                       dynamic_params: Optional[Dict]):
@@ -628,7 +675,12 @@ def _beam_search_fast(dm: DecodeModel, init_logprobs, init_state,
         # ---- selection straight off the carried candidates ----
         # [NBG, V1] -> [B, bdash*V1] (padded-tile remap; padding V1 to the
         # 128-lane tile to make this a bitcast was measured SLOWER, 2560
-        # vs 2625 cap/s — the concat pass costs more than the remap saves)
+        # vs 2625 cap/s — the concat pass costs more than the remap saves;
+        # replacing the flat top_k with k fused variadic-reduce argmax
+        # passes in the native layout (_topk_iterated) was ALSO measured
+        # slower, 2710 vs 2879 cap/s with a 216 -> 493 s compile — XLA's
+        # TPU lowering of tuple-operand reduce does not vectorize like the
+        # single-operand reductions this step's budget assumed)
         ys, ix = jax.lax.top_k(cand.reshape(B, bdash * V1), bdash)
         beam_ix = ix // V1
         sel_ix = ix % V1

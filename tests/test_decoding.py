@@ -420,6 +420,29 @@ def test_sample_stats_matches_table_reductions():
                        rtol=1e-5, atol=1e-5)
 
 
+def test_topk_iterated_equals_lax_topk():
+    """_topk_iterated must reproduce lax.top_k(cand.reshape(B, bdash*V1), k)
+    exactly — values, flat indices, order, AND tie resolution (smaller flat
+    index wins) — including tables full of duplicates and -inf entries
+    (log_softmax underflow), which the exclusion mask must never re-pick."""
+    rng = np.random.RandomState(0)
+    B, bdash, V1 = 4, 5, 37
+    for trial, tbl in enumerate([
+            rng.randn(B * bdash, V1).astype('float32'),
+            # heavy ties: few distinct values
+            rng.randint(-3, 3, (B * bdash, V1)).astype('float32'),
+            # all-equal rows + -inf columns
+            np.where(rng.rand(B * bdash, V1) < 0.4, -np.inf,
+                     0.0).astype('float32'),
+            np.full((B * bdash, V1), -1e9, np.float32)]):
+        cand = jnp.asarray(tbl)
+        for k in (1, 3, bdash):
+            ys, ix = decoding._topk_iterated(cand, B, bdash, k)
+            ys_r, ix_r = jax.lax.top_k(cand.reshape(B, bdash * V1), k)
+            assert (np.asarray(ix) == np.asarray(ix_r)).all(), (trial, k)
+            assert (np.asarray(ys) == np.asarray(ys_r)).all(), (trial, k)
+
+
 @pytest.mark.parametrize('suppress,lp', [(0, ''), (1, 'wu_0.9')])
 def test_fast_beam_path_equals_general(suppress, lp):
     """The G==1 write-time-fused beam body must match the general body
