@@ -222,71 +222,40 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
     predictions = []
     n_predictions = []
     rng = jax.random.PRNGKey(int(eval_kwargs.get('seed', 0)))
-    while True:
-        data = loader.get_batch(split)
-        n = n + len(data['infos'])
 
-        fc = jnp.asarray(data['fc_feats'])
-        att = jnp.asarray(data['att_feats'])
-        am = jnp.asarray(data['att_masks']) if data['att_masks'] is not None \
-            else None
-        # DataLoaderRaw has no ground truth (labels None)
-        labels = (jnp.asarray(data['labels'])
-                  if data.get('labels') is not None else None)
-        masks = (jnp.asarray(data['masks'])
-                 if data.get('masks') is not None else None)
-
-        if labels is not None and verbose_loss:
-            logprobs = captioner.forward_tf_jit(
-                variables, fc, att, labels[..., :-1], am, 0.0, None, False)
-            if label_smoothing > 0:
-                loss = float(L.label_smoothing_criterion(
-                    logprobs, labels[..., 1:], masks[..., 1:],
-                    label_smoothing))
-            else:
-                loss = float(L.language_model_criterion(
-                    logprobs, labels[..., 1:], masks[..., 1:]))
+    def _process(rec):
+        """Fetch + post-process one DISPATCHED batch.  Runs after the NEXT
+        batch's decode has been dispatched, so the device->host transfer
+        (one tunnel/PCIe round trip per batch) and the host-side string
+        work overlap the next batch's device time — the eval analogue of
+        tools/train.py's deferred metrics flush.  Semantics (prediction
+        order, bounds pops, verbose lines, losses) are identical to the
+        synchronous loop: records are processed strictly in batch order."""
+        nonlocal loss, loss_sum, loss_evals
+        data, real_rows = rec['data'], rec['real_rows']
+        if rec['loss_dev'] is not None:
+            loss = float(rec['loss_dev'])
             loss_sum += loss
             loss_evals += 1
-
-        rng, step_rng = jax.random.split(rng)
-        fc_d, att_d, am_d, real_rows = _shard(fc, att, am)
-        bs_size = int(sample_opt.get('beam_size', 1) or 1)
-        sm = sample_opt.get('sample_method', 'greedy')
-        if bs_size > 1 and sm in ('greedy', 'beam_search'):
-            # beam fast path: entropy/perplexity sums are carried through
-            # the beam scan itself (decoding.sample_beam want_logps=False),
-            # skipping the winner-logprob replay — same two reductions the
-            # reference takes from the stored distributions
-            # (eval_utils.py:173-174)
-            seq, stats, _done = captioner.sample_beam_jit(
-                variables, fc_d, att_d, am_d, step_rng, sample_opt,
-                want_logps=False)
+        kind = rec['kind']
+        if kind == 'beam':
             seq, entropy, perplexity = _stats_from_sums(
-                seq, stats, real_rows)
+                rec['seq'], rec['stats'], real_rows)
             if verbose_beam:
                 # print every finished beam per image (reference
                 # eval_utils.py:178-181)
-                beams = np.asarray(_done['seq'])[:real_rows]
+                beams = np.asarray(rec['done']['seq'])[:real_rows]
                 for i in range(beams.shape[0]):
                     flat = beams[i].reshape(-1, beams.shape[-1])
                     print('\n'.join(utils.decode_sequence(vocab, flat)))
                     print('--' * 10)
-        elif (stats_out := getattr(captioner, 'sample_stats_jit',
-                                   lambda *a: None)(
-                variables, fc_d, att_d, am_d, step_rng,
-                sample_opt)) is not None:
-            # sample-family fast path: ent/perplexity sums carried through
-            # the scan; the [N, L, V+1] table never materializes
-            seq, stats = stats_out
+        elif kind == 'stats':
             seq, entropy, perplexity = _stats_from_sums(
-                seq, stats, real_rows)
+                rec['seq'], rec['stats'], real_rows)
         else:
-            seq, seq_logprobs = captioner.sample_jit(
-                variables, fc_d, att_d, am_d, step_rng, sample_opt)
             G = int(sample_opt.get('group_size', 1) or 1)
-            seq = np.asarray(seq)[:real_rows * G]
-            lp = np.asarray(seq_logprobs)[:real_rows * G]
+            seq = np.asarray(rec['seq'])[:real_rows * G]
+            lp = np.asarray(rec['lp'])[:real_rows * G]
             if G > 1 and seq.shape[0] == real_rows * G:
                 # diverse sampling folds groups into rows [B*G, L]; the
                 # split loop reports one caption per image, so keep group 0
@@ -339,24 +308,96 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
                 print('image %s: %s' % (entry['image_id'], entry['caption']))
 
         if sample_n > 1:
-            rng, n_rng = jax.random.split(rng)
             eval_split_n(captioner, variables, n_predictions,
-                         [fc, att, am, data], vocab, n_rng, eval_kwargs)
+                         rec['inputs'] + [data], vocab, rec['n_rng'],
+                         eval_kwargs)
+
+        for i in range(rec['n'] - rec['ix1']):
+            predictions.pop()
+
+        if verbose:
+            print('evaluating validation preformance... %d/%d (%f)'
+                  % (rec['n'], rec['ix1'], loss))
+
+    pending = None
+    while True:
+        data = loader.get_batch(split)
+        n = n + len(data['infos'])
+
+        fc = jnp.asarray(data['fc_feats'])
+        att = jnp.asarray(data['att_feats'])
+        am = jnp.asarray(data['att_masks']) if data['att_masks'] is not None \
+            else None
+        # DataLoaderRaw has no ground truth (labels None)
+        labels = (jnp.asarray(data['labels'])
+                  if data.get('labels') is not None else None)
+        masks = (jnp.asarray(data['masks'])
+                 if data.get('masks') is not None else None)
+
+        loss_dev = None
+        if labels is not None and verbose_loss:
+            logprobs = captioner.forward_tf_jit(
+                variables, fc, att, labels[..., :-1], am, 0.0, None, False)
+            if label_smoothing > 0:
+                loss_dev = L.label_smoothing_criterion(
+                    logprobs, labels[..., 1:], masks[..., 1:],
+                    label_smoothing)
+            else:
+                loss_dev = L.language_model_criterion(
+                    logprobs, labels[..., 1:], masks[..., 1:])
+
+        rng, step_rng = jax.random.split(rng)
+        fc_d, att_d, am_d, real_rows = _shard(fc, att, am)
+        bs_size = int(sample_opt.get('beam_size', 1) or 1)
+        sm = sample_opt.get('sample_method', 'greedy')
+        rec = {'data': data, 'real_rows': real_rows, 'loss_dev': loss_dev,
+               'inputs': [fc, att, am]}
+        if bs_size > 1 and sm in ('greedy', 'beam_search'):
+            # beam fast path: entropy/perplexity sums are carried through
+            # the beam scan itself (decoding.sample_beam want_logps=False),
+            # skipping the winner-logprob replay — same two reductions the
+            # reference takes from the stored distributions
+            # (eval_utils.py:173-174)
+            seq, stats, _done = captioner.sample_beam_jit(
+                variables, fc_d, att_d, am_d, step_rng, sample_opt,
+                want_logps=False)
+            rec.update(kind='beam', seq=seq, stats=stats, done=_done)
+        elif (stats_out := getattr(captioner, 'sample_stats_jit',
+                                   lambda *a: None)(
+                variables, fc_d, att_d, am_d, step_rng,
+                sample_opt)) is not None:
+            # sample-family fast path: ent/perplexity sums carried through
+            # the scan; the [N, L, V+1] table never materializes
+            seq, stats = stats_out
+            rec.update(kind='stats', seq=seq, stats=stats)
+        else:
+            seq, seq_logprobs = captioner.sample_jit(
+                variables, fc_d, att_d, am_d, step_rng, sample_opt)
+            rec.update(kind='slow', seq=seq, lp=seq_logprobs)
+
+        if sample_n > 1:
+            rng, n_rng = jax.random.split(rng)
+            rec['n_rng'] = n_rng
 
         ix1 = data['bounds']['it_max']
         if num_images != -1:
             ix1 = min(ix1, num_images)
         else:
             num_images = ix1
-        for i in range(n - ix1):
-            predictions.pop()
+        rec['n'], rec['ix1'] = n, ix1
 
-        if verbose:
-            print('evaluating validation preformance... %d/%d (%f)'
-                  % (n, ix1, loss))
+        # one batch stays in flight: fetch + post-process the PREVIOUS
+        # batch only after this one's device programs are dispatched, so
+        # the transfer round trip and the host string work hide under this
+        # batch's decode
+        if pending is not None:
+            _process(pending)
+        pending = rec
 
         if num_images >= 0 and n >= num_images:
             break
+    if pending is not None:
+        _process(pending)
 
     # multi-host: gather per-process predictions on every host (replaces
     # the reference's d2comm.gather, train_pl.py:224-276)

@@ -177,6 +177,24 @@ def main():
                   % (name, B, dt, B / dt,
                      float((np.asarray(s) > 0).sum(1).mean())))
 
+            # pipelined (deferred-fetch) beam: eval_split's production
+            # pattern — see the greedy PIPELINED row for the mechanism
+            prev = None
+            t0 = time.time()
+            for i in range(iters):
+                s, st, _ = cap.sample_beam_jit(variables, fc, att, am,
+                                               jax.random.PRNGKey(i), bo,
+                                               want_logps=False)
+                if prev is not None:
+                    np.asarray(prev[0])
+                    np.asarray(prev[1]['ent_sum'])
+                prev = (s, st)
+            np.asarray(prev[0])
+            np.asarray(prev[1]['ent_sum'])
+            dt = (time.time() - t0) / iters
+            print('%s beam5  B=%d PIPELINED: %.3fs -> %.1f captions/s'
+                  % (name, B, dt, B / dt))
+
         if 'greedy' in rows:
             # production eval path: carried ent/perplexity stats, the full
             # [N, L, V+1] table never materializes (sample_stats_jit)
@@ -194,6 +212,27 @@ def main():
             print('%s greedy B=%d: %.3fs -> %.1f captions/s (mean len %.1f)'
                   % (name, B, dt, B / dt,
                      float((np.asarray(s) > 0).sum(1).mean())))
+
+            # pipelined greedy: ONE batch in flight — batch i's fetch happens
+            # after batch i+1 is dispatched, exactly eval_split's deferred
+            # _process pattern, so the per-batch transfer RTT hides under
+            # the next decode.  This is the production eval number; the
+            # synced row above charges the full round trip to every batch.
+            prev = None
+            t0 = time.time()
+            for i in range(iters):
+                s, st = cap.sample_stats_jit(variables, fc, att, am,
+                                             jax.random.PRNGKey(i),
+                                             {'sample_method': 'greedy'})
+                if prev is not None:
+                    np.asarray(prev[0])
+                    np.asarray(prev[1]['ent_sum'])
+                prev = (s, st)
+            np.asarray(prev[0])
+            np.asarray(prev[1]['ent_sum'])
+            dt = (time.time() - t0) / iters
+            print('%s greedy B=%d PIPELINED: %.3fs -> %.1f captions/s'
+                  % (name, B, dt, B / dt))
 
         # XE training step (rbg: the train production default)
         jax.config.update('jax_default_prng_impl', 'rbg')
