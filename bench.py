@@ -57,6 +57,15 @@ def decode_step_flops(opt, n_mem: int, cache_len: int) -> float:
     the FFN (4*d*ff); plus the vocab logits (2*d*V).  Layernorms,
     softmaxes and the embedding gather are bandwidth, not FLOPs, and are
     deliberately excluded — this is the numerator of an honest MFU.
+
+    The ancestry-attend term counts ALGORITHMIC FLOPs (4*T*d per lane:
+    one score + one weighted-sum pass over the lane's own history).  The
+    executed ``_attend_beam`` computes scores/context against all bw
+    sibling slots and masks (4*bw*T*d executed), so the hardware runs
+    ~bw-fold more attend FLOPs than this numerator credits — at the
+    headline shape that term is <2%% of the step's FLOPs, and the useful
+    -work convention keeps mfu_pct meaning "progress on the problem",
+    not "MXU occupancy".
     """
     d, f, L = opt.d_model, opt.d_ff, opt.N_dec
     per_layer = 16.0 * d * d + 4.0 * cache_len * d + 4.0 * n_mem * d \

@@ -109,8 +109,11 @@ class Captioner:
         beam_init = beam_reorder = None
         if getattr(type(module), 'SUPPORTS_BEAM_ANCESTRY', False):
             def _is_cache(name):
-                # 'k'/'v': stacked [B, L, h, T, dk] caches (transformer);
-                # 'k0'/'v0'...: per-layer caches (bert/m2)
+                # 'k0'/'v0'...: per-layer [B, h, T, dk] caches — every
+                # production model (transformer/bert/m2) uses these since the
+                # stacked-cache revert.  The bare 'k'/'v' branch is kept only
+                # for stacked [B, L, h, T, dk] cache experiments
+                # (ops/anc_attend.py's layout).
                 return name[:1] in ('k', 'v') and (name[1:].isdigit()
                                                    or name[1:] == '')
 

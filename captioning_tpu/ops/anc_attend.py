@@ -1,5 +1,13 @@
 """Pallas fused beam ancestry-attention over the stacked KV cache.
 
+RETAINED EXPERIMENT — not wired into any production path.  The stacked
+[N, L, h, T, dk] cache layout this kernel reads was REVERTED from the
+production transformer (per-layer [B, h, T, dk] buffers alias cleanly
+through the decode while-loop; the stacked buffer's per-step
+dynamic-update-slices cost ~9 ms/step — see BENCH.md round 4 and
+models/transformer.py:init_state).  Kept with its benchmark
+(tools/bench_anc_attend.py) as the measured record for that layout.
+
 The beam decode step's dominant cost is the per-layer ancestry
 self-attention (reference semantics: CaptionModel.py:60-110 beam
 bookkeeping + AttModel beam state reorder, reformulated here as

@@ -2,8 +2,10 @@
 
 Times the beam-step self-attention in isolation at the headline shape
 (B=1024 x beam 5 -> N=5120 lanes, 6 layers, h=8, T=21, dk=64), scanned
-over the layer axis exactly like ``TransformerCore.step``'s eval layer
-scan.  The jnp path must materialize each layer's [N, h, T, dk] K/V
+over the layer axis the way the (since-reverted) stacked-cache decode
+step ran its eval layers.  RETAINED EXPERIMENT: production uses
+per-layer caches (models/transformer.py:init_state), so this benchmark
+measures a layout no production model uses — see ops/anc_attend.py.  The jnp path must materialize each layer's [N, h, T, dk] K/V
 slice (dynamic_index_in_dim at a traced layer index); the kernel reads
 the stacked cache tiles directly via scalar-prefetch index maps.
 
