@@ -18,6 +18,7 @@ gather for language_eval uses ``multihost_utils.process_allgather``.
 
 from __future__ import annotations
 
+import functools
 import re
 
 import jax
@@ -64,12 +65,24 @@ def param_sharding_spec(path: str, mesh: Mesh, shape=None) -> P:
 
 
 def shard_variables(variables, mesh: Mesh):
-    """Place params on the mesh (replicated except vocab-dim TP shards)."""
+    """Place params on the mesh (replicated except vocab-dim TP shards).
+
+    Works on single- and multi-process meshes: multi-process placement
+    goes through ``make_array_from_callback`` (every process passes the
+    same full host value — true for seed-initialised or checkpoint-loaded
+    params — and contributes its addressable shards)."""
+    multiproc = jax.process_count() > 1
+
     def place(path_entries, x):
         path = '/'.join(str(getattr(p, 'key', getattr(p, 'idx', p)))
                         for p in path_entries)
         spec = param_sharding_spec(path, mesh, getattr(x, 'shape', None))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiproc:
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx, a=arr: a[idx])
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map_with_path(place, variables)
 
@@ -104,6 +117,66 @@ def local_batch_slice(global_batch_size: int) -> slice:
     i = jax.process_index()
     start = i * per + min(i, rem)
     return slice(start, start + per + (1 if i < rem else 0))
+
+
+def globalize_local(tree, mesh: Mesh, spec: P = P('data')):
+    """Build GLOBAL (multi-host) arrays from per-process local shards.
+
+    Each process passes the rows of its ``local_batch_slice`` — contiguous
+    in process_index order, exactly how that helper slices the global batch
+    — and gets back a jax.Array spanning the global mesh, sharded on the
+    data axis.  Scalars / 0-d leaves are replicated.  This is the
+    multi-host twin of ``shard_batch`` (which device_puts host-local
+    arrays and is only correct single-process)."""
+    def place(x):
+        if x is None:
+            return None
+        x = np.asarray(x)
+        s = spec if x.ndim >= 1 else P()
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, s), x)
+    return jax.tree.map(place, tree)
+
+
+def globalize_replicated(tree, mesh: Mesh):
+    """Replicate identical per-process host arrays onto the global mesh.
+
+    Every process must pass the SAME values (e.g. params initialised from
+    a shared seed, or rewards recomputed identically per host)."""
+    def place(x):
+        if x is None:
+            return None
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P()), np.asarray(x))
+    return jax.tree.map(place, tree)
+
+
+@functools.lru_cache(maxsize=8)
+def _identity_replicated(mesh: Mesh):
+    """Cached jitted identity that reshards every output leaf to fully-
+    replicated on ``mesh`` (an XLA all-gather over ICI/DCN when the input
+    was sharded; a no-op program when it was already replicated)."""
+    return jax.jit(lambda t: t, out_shardings=NamedSharding(mesh, P()))
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Reshard a pytree of GLOBAL arrays to fully-replicated (async).
+
+    After this every leaf is fully addressable on every process, so plain
+    ``np.asarray`` works anywhere — the device->host story for outputs of
+    multi-host jitted programs (decoded tokens, eval stats)."""
+    return _identity_replicated(mesh)(tree)
+
+
+def fetch_replicated(tree, mesh: Mesh):
+    """Device -> host of multi-host global arrays on EVERY process.
+
+    A data-sharded global array is not addressable from one host;
+    resharding it to fully-replicated through a jitted identity (an XLA
+    all-gather over ICI/DCN) makes the whole value local everywhere.
+    Used by the host-reward SCST fallback to fetch decoded tokens and by
+    the multi-host checkpoint path to materialize TP-sharded params."""
+    return jax.tree.map(np.asarray, replicate_tree(tree, mesh))
 
 
 def object_allgather(obj, allgather):

@@ -178,8 +178,31 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
     # local device mesh (data axis); the jitted sample programs partition
     # automatically from the input shardings.  Goes beyond the reference,
     # whose eval is single-GPU (DataParallel is train-only, train.py:86-88).
+    #
+    # multi-host: COOPERATIVE eval — every process walks the same loader
+    # state, feeds its local slice of each global batch, and the decode
+    # runs once across the whole cluster; outputs reshard to replicated so
+    # every host ends up with the full prediction list and the identical
+    # val loss / lang stats (lockstep checkpoint decisions for free).
+    # This replaces the reference's rank-split val loader + DDP gather
+    # (train_pl.py:224-276).
+    multihost = jax.process_count() > 1
     mesh = None
-    if int(eval_kwargs.get('device_mesh', 0) or 0) and jax.device_count() > 1:
+    if multihost:
+        from ..parallel.mesh import make_mesh, globalize_replicated
+        mesh = make_mesh('')  # all GLOBAL devices on the data axis
+        leaf = jax.tree.leaves(variables)[0]
+        if not (isinstance(leaf, jax.Array) and
+                len(leaf.sharding.device_set) == jax.device_count()):
+            # standalone eval: params are host/local arrays — replicate
+            # them onto the global mesh (training passes global arrays)
+            variables = globalize_replicated(variables, mesh)
+        if jax.process_index() == 0:
+            print('eval_split: cooperative multi-host decode over %d '
+                  'devices / %d processes'
+                  % (jax.device_count(), jax.process_count()))
+    elif int(eval_kwargs.get('device_mesh', 0) or 0) and \
+            jax.device_count() > 1:
         from ..parallel.mesh import make_mesh, replicate, shard_batch
         mesh = make_mesh('')  # all local devices on the data axis
         variables = replicate(variables, mesh)
@@ -204,6 +227,37 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
             fc, att, am = _pad(fc), _pad(att), _pad(am)
         sharded = shard_batch({'fc': fc, 'att': att, 'am': am}, mesh)
         return sharded['fc'], sharded['att'], sharded['am'], real
+
+    def _globalize_batch(data):
+        """Multi-host batch prep: pad the global batch to a multiple of the
+        global device count (zero MASKS on padded rows keep the masked loss
+        exact; padded decode rows are dropped by real_rows), slice this
+        host's rows, and assemble global data-sharded arrays."""
+        from ..parallel.mesh import globalize_local, local_batch_slice
+        n_dev = jax.device_count()
+        fc = np.asarray(data['fc_feats'])
+        real = fc.shape[0]
+        pad = (-real) % n_dev
+
+        def _prep(x, zero_pad=False):
+            if x is None:
+                return None
+            x = np.asarray(x)
+            if pad:
+                reps = np.zeros_like(x[:1]) if zero_pad else x[:1]
+                x = np.concatenate([x] + [reps] * pad, axis=0)
+            return x
+
+        tree = {'fc': _prep(fc), 'att': _prep(data['att_feats']),
+                'am': _prep(data['att_masks']),
+                'labels': _prep(data.get('labels')),
+                'masks': _prep(data.get('masks'), zero_pad=True)}
+        sl = local_batch_slice(real + pad)
+        tree = globalize_local(
+            {k: (v[sl] if v is not None else None)
+             for k, v in tree.items()}, mesh)
+        return (tree['fc'], tree['att'], tree['am'], tree['labels'],
+                tree['masks'], real)
 
     sample_opt = {k: eval_kwargs.get(k) for k in
                   ('sample_method', 'beam_size', 'temperature', 'group_size',
@@ -324,15 +378,18 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
         data = loader.get_batch(split)
         n = n + len(data['infos'])
 
-        fc = jnp.asarray(data['fc_feats'])
-        att = jnp.asarray(data['att_feats'])
-        am = jnp.asarray(data['att_masks']) if data['att_masks'] is not None \
-            else None
-        # DataLoaderRaw has no ground truth (labels None)
-        labels = (jnp.asarray(data['labels'])
-                  if data.get('labels') is not None else None)
-        masks = (jnp.asarray(data['masks'])
-                 if data.get('masks') is not None else None)
+        if multihost:
+            fc, att, am, labels, masks, real_rows = _globalize_batch(data)
+        else:
+            fc = jnp.asarray(data['fc_feats'])
+            att = jnp.asarray(data['att_feats'])
+            am = (jnp.asarray(data['att_masks'])
+                  if data['att_masks'] is not None else None)
+            # DataLoaderRaw has no ground truth (labels None)
+            labels = (jnp.asarray(data['labels'])
+                      if data.get('labels') is not None else None)
+            masks = (jnp.asarray(data['masks'])
+                     if data.get('masks') is not None else None)
 
         loss_dev = None
         if labels is not None and verbose_loss:
@@ -347,7 +404,10 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
                     logprobs, labels[..., 1:], masks[..., 1:])
 
         rng, step_rng = jax.random.split(rng)
-        fc_d, att_d, am_d, real_rows = _shard(fc, att, am)
+        if multihost:
+            fc_d, att_d, am_d = fc, att, am  # already global data-sharded
+        else:
+            fc_d, att_d, am_d, real_rows = _shard(fc, att, am)
         bs_size = int(sample_opt.get('beam_size', 1) or 1)
         sm = sample_opt.get('sample_method', 'greedy')
         rec = {'data': data, 'real_rows': real_rows, 'loss_dev': loss_dev,
@@ -386,6 +446,15 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
             num_images = ix1
         rec['n'], rec['ix1'] = n, ix1
 
+        # multi-host: decode outputs are data-sharded over the global mesh
+        # (not addressable from one host); reshard them to replicated
+        # (async all-gather) so _process can np.asarray them anywhere
+        if multihost:
+            from ..parallel.mesh import replicate_tree
+            for k in ('seq', 'stats', 'done', 'lp'):
+                if rec.get(k) is not None:
+                    rec[k] = replicate_tree(rec[k], mesh)
+
         # one batch stays in flight: fetch + post-process the PREVIOUS
         # batch only after this one's device programs are dispatched, so
         # the transfer round trip and the host string work hide under this
@@ -399,12 +468,11 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
     if pending is not None:
         _process(pending)
 
-    # multi-host: gather per-process predictions on every host (replaces
-    # the reference's d2comm.gather, train_pl.py:224-276)
-    if jax.process_count() > 1:
-        from ..parallel.mesh import gather_predictions
-        predictions = gather_predictions(predictions)
-        n_predictions = gather_predictions(n_predictions)
+    # multi-host note: NO gather needed — the cooperative decode above
+    # already leaves every host with the full prediction list (the decode
+    # ran once across the cluster; outputs were resharded to replicated).
+    # The reference's d2comm.gather (train_pl.py:224-276) is matched by
+    # construction; gather_predictions remains for per-host-decode users.
 
     lang_stats = None
     if len(n_predictions) > 0 and 'perplexity' in n_predictions[0]:
@@ -412,10 +480,13 @@ def eval_split(captioner, variables, loader, eval_kwargs=None):
     if not os.path.isdir('eval_results'):
         os.mkdir('eval_results')
     import pickle
-    with open(os.path.join('eval_results/', '.saved_pred_'
-                           + eval_kwargs.get('id', '') + '_' + split + '.pkl'),
-              'wb') as f:
-        pickle.dump((predictions, n_predictions), f)
+    if jax.process_index() == 0:
+        # identical content on every host; only one writer avoids an
+        # interleaved file on shared filesystems
+        with open(os.path.join('eval_results/', '.saved_pred_'
+                               + eval_kwargs.get('id', '') + '_' + split +
+                               '.pkl'), 'wb') as f:
+            pickle.dump((predictions, n_predictions), f)
     if lang_eval == 1:
         lang_stats = language_eval(dataset, predictions, n_predictions,
                                    eval_kwargs, split)
@@ -433,7 +504,19 @@ def eval_split_n(captioner, variables, n_predictions, input_data, vocab,
     sample_n_method = eval_kwargs.get('sample_n_method', 'sample')
 
     fc, att, am, data = input_data
-    B = fc.shape[0]
+    # real image count: under cooperative multi-host eval fc/att/am carry
+    # global pad rows (multiple of the device count); infos does not
+    B = len(data['infos'])
+    multihost = jax.process_count() > 1
+    if multihost:
+        from ..parallel.mesh import make_mesh, replicate_tree
+        _mh_mesh = make_mesh('')
+
+    def _np(x):
+        """Device -> np, resharding to replicated first on multi-host."""
+        if multihost:
+            x = replicate_tree(x, _mh_mesh)
+        return np.asarray(x)
 
     base = {k: eval_kwargs.get(k) for k in
             ('temperature', 'decoding_constraint', 'block_trigrams',
@@ -444,7 +527,7 @@ def eval_split_n(captioner, variables, n_predictions, input_data, vocab,
         opt = dict(base, sample_n=sample_n, beam_size=sample_n, group_size=1)
         _seq, _stats, done = captioner.sample_beam_jit(
             variables, fc, att, am, rng, opt, want_logps=False)
-        seqs = np.asarray(done['seq'][:, 0])  # [B, bdash, L]
+        seqs = _np(done['seq'])[:, 0]  # [B, bdash, L]
         for k in range(B):
             _sents = utils.decode_sequence(vocab, seqs[k][:sample_n])
             for sent in _sents:
@@ -459,8 +542,8 @@ def eval_split_n(captioner, variables, n_predictions, input_data, vocab,
         sampler = getattr(captioner, 'sample_dynamic_jit',
                           captioner.sample_jit)
         _seq, _logprobs = sampler(variables, fc, att, am, rng, opt)
-        _seq = np.asarray(_seq)
-        lp = np.asarray(_logprobs)
+        _seq = _np(_seq)[:B * sample_n]
+        lp = _np(_logprobs)[:B * sample_n]
         _sents = utils.decode_sequence(vocab, _seq)
         _perplexity = -np.take_along_axis(
             lp, _seq[..., None], axis=2)[..., 0].sum(1) / ((_seq > 0).sum(1) + 1)
@@ -472,7 +555,7 @@ def eval_split_n(captioner, variables, n_predictions, input_data, vocab,
         opt = dict(base, beam_size=beam_size * sample_n, group_size=sample_n)
         _seq, _stats, done = captioner.sample_beam_jit(
             variables, fc, att, am, rng, opt, want_logps=False)
-        seqs = np.asarray(done['seq'][:, :, 0])  # best of each group [B,G,L]
+        seqs = _np(done['seq'])[:, :, 0]  # best of each group [B,G,L]
         for k in range(B):
             _sents = utils.decode_sequence(vocab, seqs[k])
             for sent in _sents:
@@ -482,7 +565,7 @@ def eval_split_n(captioner, variables, n_predictions, input_data, vocab,
         opt = dict(base, sample_method=sample_n_method[1:],
                    group_size=sample_n, beam_size=1)
         _seq, _ = captioner.sample_jit(variables, fc, att, am, rng, opt)
-        _sents = utils.decode_sequence(vocab, np.asarray(_seq))
+        _sents = utils.decode_sequence(vocab, _np(_seq)[:B * sample_n])
         for k, sent in enumerate(_sents):
             n_predictions.append(
                 {'image_id': data['infos'][k // sample_n]['id'],

@@ -163,7 +163,27 @@ def build_parser():
                              ' 0 forces the Python item path')
     parser.add_argument('--mesh_shape', type=str, default='',
                         help='device mesh, e.g. "data:8" or "data:4,model:2". '
-                             'Empty = all devices on the data axis.')
+                             'Empty = all devices on the data axis. With '
+                             'multiple processes the mesh spans the GLOBAL '
+                             'device set.')
+    parser.add_argument('--dist_coordinator', type=str, default='',
+                        help='multi-host training: coordinator address '
+                             '"host:port" for jax.distributed.initialize. '
+                             'Empty = single-process unless the standard '
+                             'cluster env (TPU pod / JAX_COORDINATOR_ADDRESS)'
+                             ' is present and --dist_auto is set. Replaces '
+                             'the reference\'s Lightning DDP launch '
+                             '(train_pl.py:458-499).')
+    parser.add_argument('--dist_nproc', type=int, default=-1,
+                        help='multi-host: total process count (with '
+                             '--dist_coordinator; -1 = auto-detect)')
+    parser.add_argument('--dist_pid', type=int, default=-1,
+                        help='multi-host: this process\'s id (with '
+                             '--dist_coordinator; -1 = auto-detect)')
+    parser.add_argument('--dist_auto', type=int, default=0,
+                        help='call jax.distributed.initialize() with no '
+                             'arguments (auto-detects TPU pod / SLURM / '
+                             'JAX_COORDINATOR_ADDRESS environments)')
     parser.add_argument('--use_pallas', type=int, default=0,
                         help='enable pallas fused kernels on TPU')
     parser.add_argument('--on_device_cider', type=int, default=-1,

@@ -27,6 +27,22 @@ def build_synthetic_dataset(root, n_images=20, vocab_size=30, seq_length=6,
     os.makedirs(fc_dir, exist_ok=True)
     os.makedirs(att_dir, exist_ok=True)
 
+    # idempotent reuse: multi-process tests launch several workers over one
+    # shared dataset dir; a completed build must not be rewritten under a
+    # concurrent reader (content is seed-deterministic, so reuse is exact)
+    marker = os.path.join(root, '.complete')
+    ns = SimpleNamespace(
+        input_json=os.path.join(root, 'talk.json'),
+        input_label_h5=os.path.join(root, 'talk_label.h5'),
+        input_fc_dir=fc_dir, input_att_dir=att_dir,
+        input_box_dir=os.path.join(root, 'feats_box'),
+        cached_tokens=os.path.join(root, 'talk-idxs.p'),
+        vocab_size=vocab_size, seq_length=seq_length,
+        fc_dim=fc_dim, att_dim=att_dim,
+        annotations=os.path.join(root, 'annotations.json'))
+    if os.path.exists(marker):
+        return ns
+
     ix_to_word = {str(i): 'w%d' % i for i in range(1, vocab_size + 1)}
     images = []
     all_caps = []
@@ -103,13 +119,9 @@ def build_synthetic_dataset(root, n_images=20, vocab_size=30, seq_length=6,
     ann_json = os.path.join(root, 'annotations.json')
     json.dump(ann, open(ann_json, 'w'))
 
-    return SimpleNamespace(
-        input_json=input_json, input_label_h5=label_h5,
-        input_fc_dir=fc_dir, input_att_dir=att_dir,
-        input_box_dir=os.path.join(root, 'feats_box'),
-        cached_tokens=ngram_pkl, vocab_size=vocab_size,
-        seq_length=seq_length, fc_dim=fc_dim, att_dim=att_dim,
-        annotations=ann_json)
+    with open(marker, 'w') as f:
+        f.write('ok')
+    return ns
 
 
 def make_opt(ds, model='newfc', **kw):

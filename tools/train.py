@@ -40,14 +40,51 @@ except Exception:  # tensorboard optional
     SummaryWriter = None
 
 
-def _to_jnp(batch, mesh=None):
+def maybe_distributed_init(opt):
+    """Bring up the jax.distributed cluster for multi-host training.
+
+    The reference scales past one host through Lightning DDP
+    (``/root/reference/tools/train_pl.py:458-499``); here each host runs
+    this same script with ``--dist_coordinator host:port --dist_nproc N
+    --dist_pid i`` (or ``--dist_auto 1`` on environments jax can
+    auto-detect, e.g. TPU pods).  Must run before any other jax use."""
+    coord = getattr(opt, 'dist_coordinator', '') or ''
+    if coord:
+        kwargs = {'coordinator_address': coord}
+        if getattr(opt, 'dist_nproc', -1) not in (None, -1):
+            kwargs['num_processes'] = int(opt.dist_nproc)
+        if getattr(opt, 'dist_pid', -1) not in (None, -1):
+            kwargs['process_id'] = int(opt.dist_pid)
+        jax.distributed.initialize(**kwargs)
+    elif getattr(opt, 'dist_auto', 0):
+        jax.distributed.initialize()
+    if jax.process_count() > 1:
+        print('multi-host: process %d/%d, %d local / %d global devices'
+              % (jax.process_index(), jax.process_count(),
+                 len(jax.local_devices()), len(jax.devices())))
+
+
+def is_main_process():
+    return jax.process_index() == 0
+
+
+def _to_jnp(batch, mesh=None, local_slice=None):
     import jax.numpy as jnp
     arrays = {
         'fc': batch['fc_feats'], 'att': batch['att_feats'],
         'am': batch['att_masks'], 'labels': batch['labels'],
         'masks': batch['masks'],
     }
-    if mesh is not None:
+    if local_slice is not None:
+        # multi-host: every host built the same global batch (same loader
+        # state); each feeds its contiguous local_batch_slice of it and the
+        # arrays are assembled into GLOBAL data-sharded jax.Arrays
+        # (reference per-GPU batch split: train_pl.py:459-460)
+        from captioning_tpu.parallel.mesh import globalize_local
+        arrays = {k: (v[local_slice] if v is not None else None)
+                  for k, v in arrays.items()}
+        arrays = globalize_local(arrays, mesh)
+    elif mesh is not None:
         from captioning_tpu.parallel.mesh import shard_batch
         arrays = shard_batch(arrays, mesh)
     else:
@@ -69,6 +106,17 @@ def _maybe_mesh(opt):
     if not mesh_shape:
         if n_dev == 1:
             return None
+        if jax.process_count() > 1:
+            # multi-host: always build the global mesh (all global devices
+            # on the data axis); the batch must split evenly
+            assert opt.batch_size % n_dev == 0, \
+                'multi-host training needs batch_size (%d) divisible by ' \
+                'the global device count (%d)' % (opt.batch_size, n_dev)
+            from captioning_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh('data:%d' % n_dev)
+            print('training on GLOBAL mesh', dict(mesh.shape),
+                  'across %d processes' % jax.process_count())
+            return mesh
         d = n_dev
         while d > 1 and opt.batch_size % d != 0:
             d -= 1
@@ -84,8 +132,10 @@ def _maybe_mesh(opt):
 
 
 def train(opt):
+    maybe_distributed_init(opt)
     utils.enable_compilation_cache(getattr(opt, 'compilation_cache_dir', ''))
     utils.set_rng_impl(getattr(opt, 'rng_impl', ''))
+    multihost = jax.process_count() > 1
     ################################
     # Build dataloader
     ################################
@@ -124,12 +174,13 @@ def train(opt):
                                'histories_' + opt.id + '.pkl'), 'rb') as f:
             histories.update(utils.pickle_load(f))
 
-    tb_writer = SummaryWriter(opt.checkpoint_path) if SummaryWriter else None
+    tb_writer = (SummaryWriter(opt.checkpoint_path)
+                 if SummaryWriter and is_main_process() else None)
 
     # wandb (second logger backend, reference train_pl.py:442-449):
     # optional dependency, enabled by --use_wandb, silent no-op otherwise
     wandb_run = None
-    if getattr(opt, 'use_wandb', 0):
+    if getattr(opt, 'use_wandb', 0) and is_main_process():
         try:
             import wandb
             wandb_run = wandb.init(
@@ -175,6 +226,46 @@ def train(opt):
         variables = shard_variables(variables, mesh)
         if old_variables is not None:
             old_variables = shard_variables(old_variables, mesh)
+
+    # multi-host: every host holds the same loader state and builds the same
+    # global batch; each feeds only its contiguous slice of it (reference
+    # per-GPU batch split, train_pl.py:459-460)
+    local_slice = None
+    if multihost:
+        assert mesh is not None, 'multi-host training requires a device mesh'
+        from captioning_tpu.parallel.mesh import local_batch_slice
+        local_slice = local_batch_slice(opt.batch_size)
+
+    def to_device(x):
+        """Host array -> device, correct on global (multi-host) meshes.
+
+        Host-computed per-row values (rewards, scores) are identical on
+        every process — each host recomputes them from the same fetched
+        sequences — so they replicate onto the global mesh."""
+        import jax.numpy as jnp
+        if multihost:
+            from captioning_tpu.parallel.mesh import globalize_replicated
+            return globalize_replicated(x, mesh)
+        return jnp.asarray(x)
+
+    def to_host(x):
+        """Device array -> np, correct when x spans a multi-host mesh
+        (reshards to fully-replicated first; plain np.asarray single-host)."""
+        if multihost:
+            from captioning_tpu.parallel.mesh import fetch_replicated
+            return fetch_replicated(x, mesh)
+        return np.asarray(x)
+
+    def to_device_data(x):
+        """Batch-row-aligned host array -> device, sharded on the data
+        axis.  Multi-host: every host holds the full global rows (refs
+        padded from the shared loader's gts); each contributes its
+        local_batch_slice."""
+        import jax.numpy as jnp
+        if multihost:
+            from captioning_tpu.parallel.mesh import globalize_local
+            return globalize_local(np.asarray(x)[local_slice], mesh)
+        return jnp.asarray(x)
 
     ##########################
     # Build optimizer
@@ -337,7 +428,7 @@ def train(opt):
             print('Read data:', time.time() - start)
 
             start = time.time()
-            fc, att, am, labels, masks = _to_jnp(data, mesh)
+            fc, att, am, labels, masks = _to_jnp(data, mesh, local_slice)
             rng, step_rng = jax.random.split(rng)
 
             out = {}
@@ -361,12 +452,12 @@ def train(opt):
                 rng_a, rng_lm = jax.random.split(step_rng)
                 variables, opt_state, out = trainer.struc_fused_step(
                     variables, opt_state, fc, att, labels, masks, am,
-                    jnp.asarray(refs), jnp.asarray(ref_mask),
+                    to_device_data(refs), to_device_data(ref_mask),
                     opt.current_lr, rng_a, rng_lm, device_scorer)
             elif struc_flag:
                 rng_a, rng_lm = jax.random.split(step_rng)
                 gen_seq = trainer.struc_decode(variables, fc, att, am, rng_a)
-                gen_np = np.asarray(gen_seq)
+                gen_np = to_host(gen_seq)
                 if opt.structure_loss_weight > 0:
                     nat = get_native_scorer()
                     if nat is not None:
@@ -382,10 +473,9 @@ def train(opt):
                     sc_scores = get_self_cider_scores(data['gts'], gen_np, opt)
                 else:
                     sc_scores = np.zeros((len(data['gts']),), np.float32)
-                import jax.numpy as jnp
                 variables, opt_state, out = trainer.struc_grad_step(
                     variables, opt_state, fc, att, labels, masks, am,
-                    gen_seq, jnp.asarray(scores), jnp.asarray(sc_scores),
+                    gen_seq, to_device(scores), to_device(sc_scores),
                     opt.current_lr, rng_a, rng_lm,
                     drop_worst_flag=drop_worst_flag)
             elif not sc_flag:
@@ -406,8 +496,8 @@ def train(opt):
                 refs, ref_mask = pad_gts(data['gts'], pad_to_multiple=5)
                 rng_g, rng_s = jax.random.split(step_rng)
                 variables, opt_state, out = trainer.sc_fused_step(
-                    variables, opt_state, fc, att, am, jnp.asarray(refs),
-                    jnp.asarray(ref_mask), opt.current_lr, rng_g, rng_s,
+                    variables, opt_state, fc, att, am, to_device_data(refs),
+                    to_device_data(ref_mask), opt.current_lr, rng_g, rng_s,
                     device_scorer)
                 # reward stays a device array; flush_metrics fetches it one
                 # iteration later (keeps the fused path fully async)
@@ -420,18 +510,25 @@ def train(opt):
                     from captioning_tpu.utils.cider_native import \
                         native_self_critical_reward
                     reward = native_self_critical_reward(
-                        nat, np.asarray(greedy_seq), data['gts'],
-                        np.asarray(gen_seq), opt.cider_reward_weight)
+                        nat, to_host(greedy_seq), data['gts'],
+                        to_host(gen_seq), opt.cider_reward_weight)
                 else:
                     reward = get_self_critical_reward(
-                        np.asarray(greedy_seq), data['gts'],
-                        np.asarray(gen_seq), opt)
-                import jax.numpy as jnp
+                        to_host(greedy_seq), data['gts'],
+                        to_host(gen_seq), opt)
                 variables, opt_state, out = trainer.sc_grad_step(
                     variables, opt_state, fc, att, am, gen_seq,
-                    jnp.asarray(reward), opt.current_lr, rng_s,
+                    to_device(reward), opt.current_lr, rng_s,
                     drop_worst_flag=drop_worst_flag)
                 out['reward'] = float(reward[:, 0].mean())
+
+            # multi-host: non-scalar step outputs (the fused struc path's
+            # [B, n] reward) are data-sharded global arrays; reshard them
+            # to replicated (async all-gather) so the deferred metrics
+            # flush can np.asarray them on every host
+            if multihost and getattr(out.get('reward'), 'ndim', 0) >= 1:
+                from captioning_tpu.parallel.mesh import replicate_tree
+                out['reward'] = replicate_tree(out['reward'], mesh)
 
             # step i+1 is dispatched before step i's metrics are fetched:
             # flush the PREVIOUS iteration's pending record now, then queue
@@ -495,16 +592,24 @@ def train(opt):
                 if plateau is not None:
                     infos['plateau_state_dict'] = plateau.state_dict()
 
-                utils.save_checkpoint(opt, variables, infos, opt_state,
-                                      histories)
-                if opt.save_history_ckpt:
-                    utils.save_checkpoint(
-                        opt, variables, infos, opt_state,
-                        append=str(epoch) if opt.save_every_epoch
-                        else str(iteration))
-                if best_flag:
-                    utils.save_checkpoint(opt, variables, infos, opt_state,
-                                          append='best')
+                # multi-host: materialize (possibly TP-sharded) state on
+                # every process — a collective, so ALL hosts run it — then
+                # only host 0 touches the filesystem (the reference's
+                # rank-0 checkpointing, train_pl.py via Lightning)
+                save_v, save_s = variables, opt_state
+                if multihost:
+                    save_v, save_s = to_host(variables), to_host(opt_state)
+                if is_main_process():
+                    utils.save_checkpoint(opt, save_v, infos, save_s,
+                                          histories)
+                    if opt.save_history_ckpt:
+                        utils.save_checkpoint(
+                            opt, save_v, infos, save_s,
+                            append=str(epoch) if opt.save_every_epoch
+                            else str(iteration))
+                    if best_flag:
+                        utils.save_checkpoint(opt, save_v, infos, save_s,
+                                              append='best')
 
         if pending is not None:
             flush_metrics(pending)
@@ -521,7 +626,18 @@ def train(opt):
         except Exception:
             pass
         print('Save ckpt on exception ...')
-        utils.save_checkpoint(opt, variables, infos, opt_state)
+        # exception context: collectives may be unusable, so skip the
+        # multi-host gather — params are replicated on the default
+        # data-axis mesh, making them addressable as-is; host 0 writes
+        if not multihost:
+            utils.save_checkpoint(opt, variables, infos, opt_state)
+        elif is_main_process():
+            try:
+                utils.save_checkpoint(
+                    opt, jax.tree.map(np.asarray, variables), infos,
+                    jax.tree.map(np.asarray, opt_state))
+            except Exception as e:
+                print('multi-host exception save failed: %s' % e)
         print('Save ckpt done.')
         stack_trace = traceback.format_exc()
         print(stack_trace)
