@@ -5,4 +5,4 @@
 # your COCO images dir when dumping images.
 id=$1
 bs=$((500 / $3))
-python tools/eval.py --image_root ${IMAGE_ROOT:-data/coco_images} --batch_size $bs --dump_images 0 --num_images -1 --split test --model log_$id/model-best.npz --language_eval 0 --beam_size 5 --sample_n $3 --temperature $2 --sample_method greedy --sample_n_method sample --infos_path log_$id/infos_$id-best.pkl --id $4$id"_sp_"$2_$3
+python tools/eval.py --image_root ${IMAGE_ROOT:-data/coco_images} --batch_size $bs --dump_images 0 --num_images -1 --split test --model log_$id/model-best.npz --language_eval 0 --beam_size 5 --sample_n $3 --temperature $2 --sample_method greedy --sample_n_method sample --infos_path log_$id/infos_$id-best.pkl --id $4$id"_sp_"$2_$3 $EXTRA_EVAL_ARGS
