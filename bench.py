@@ -177,6 +177,137 @@ def main():
            decode_step_flops(opt, 36, steps) / 1e6, peak / 1e12),
           file=sys.stderr)
 
+    # ---- compact suite (VERDICT r4 item 6): the non-headline production
+    # numbers, tracked in the driver artifact's tail each round so
+    # regressions beyond the single beam-5 headline are visible.
+    if os.environ.get('BENCH_SUITE', '1') != '0':
+        suite = {}
+        try:
+            suite.update(_suite_rows(captioner, variables, fc, att, am,
+                                     opt, B))
+        except Exception as e:  # pragma: no cover - keep headline alive
+            suite['suite_error'] = repr(e)[:200]
+        print('suite: %s' % json.dumps(suite), file=sys.stderr)
+
+
+def _pipelined(fn, fetch, iters=3):
+    """Deferred-fetch timing: batch i's fetch after batch i+1 dispatches
+    (the production loop pattern; see the headline timing above)."""
+    import time as _t
+    prev = None
+    t0 = _t.time()
+    for i in range(iters):
+        r = fn(i)
+        if prev is not None:
+            fetch(prev)
+        prev = r
+    fetch(prev)
+    return (_t.time() - t0) / iters
+
+
+def _suite_rows(captioner, variables, fc, att, am, opt, B):
+    """Greedy eval, XE train, fused SCST, and updown beam-5 rows."""
+    import jax
+    import jax.numpy as jnp
+    from captioning_tpu.models import setup
+    from captioning_tpu.modules.trainer import Trainer
+    from captioning_tpu.ops.cider_device import DeviceCiderD, pad_gts
+
+    out = {}
+    rng = np.random.RandomState(1)
+
+    # greedy eval (production sample_stats path: carried ent/ppl sums)
+    g = lambda i: captioner.sample_stats_jit(
+        variables, fc, att, am, jax.random.PRNGKey(i),
+        {'sample_method': 'greedy'})
+    dt = _pipelined(g, lambda r: (np.asarray(r[0]),
+                                  np.asarray(r[1]['ent_sum'])))
+    out['greedy_cap_s'] = round(B / dt, 1)
+
+    # XE train step at B=128x5 (rbg prng = the train production default)
+    jax.config.update('jax_default_prng_impl', 'rbg')
+    try:
+        topt = _train_opt(opt)
+        trainer = Trainer(captioner, topt)
+        opt_state = trainer.init_opt_state(variables)
+        xb = 128
+        fcx, attx, amx = fc[:xb], att[:xb], am[:xb]
+        labels = jnp.asarray(rng.randint(1, opt.vocab_size, (xb, 5, 18)),
+                             jnp.int32)
+        masks = jnp.ones((xb, 5, 18), jnp.float32)
+
+        def xe(i):
+            nonlocal opt_state
+            _, opt_state, o = trainer.xe_step(
+                variables, opt_state, fcx, attx, labels, masks, amx,
+                4e-4, 0.0, jax.random.PRNGKey(i))
+            return o
+        dt = _pipelined(xe, lambda o: float(o['loss']))
+        out['xe_img_s'] = round(xb * 5 / dt, 1)
+
+        # fused on-device SCST (the production RL default): B=50x5
+        sb = 50
+        gts = [rng.randint(1, opt.vocab_size, (5, 16)).astype('int32')
+               for _ in range(sb)]
+        refs, ref_mask = pad_gts(gts, pad_to_multiple=5)
+        df = {(i,): 2.0 for i in range(1, 50)}
+        scorer = DeviceCiderD(df, ref_len=1000.0)
+        fcs, atts, ams = fc[:sb], att[:sb], am[:sb]
+        refs, ref_mask = jnp.asarray(refs), jnp.asarray(ref_mask)
+
+        def sc(i):
+            nonlocal opt_state
+            r1, r2 = jax.random.split(jax.random.PRNGKey(i))
+            _, opt_state, o = trainer.sc_fused_step(
+                variables, opt_state, fcs, atts, ams, refs, ref_mask,
+                4e-4, r1, r2, scorer)
+            return o
+        dt = _pipelined(sc, lambda o: float(o['loss']))
+        out['scst_fused_s_iter'] = round(dt, 4)
+    finally:
+        jax.config.update('jax_default_prng_impl', 'threefry2x32')
+
+    # updown beam-5 (the RNN-family flagship row)
+    from types import SimpleNamespace
+    uopt = SimpleNamespace(
+        caption_model='updown', vocab_size=opt.vocab_size,
+        input_encoding_size=1000, rnn_size=1000, num_layers=2,
+        drop_prob_lm=0.5, fc_feat_size=2048, att_feat_size=2048,
+        att_hid_size=512, seq_per_img=5, max_length=20,
+        compute_dtype='bfloat16', use_pallas=getattr(opt, 'use_pallas', -1))
+    ucap = setup(uopt, {str(i): 'w%d' % i
+                        for i in range(1, opt.vocab_size + 1)})
+    uvars = ucap.init_params(jax.random.PRNGKey(0), att_len=36)
+    bo = {'beam_size': 5, 'sample_n': 1, 'group_size': 1, 'suppress_UNK': 1}
+    ub = lambda i: ucap.sample_beam_jit(uvars, fc, att, am,
+                                        jax.random.PRNGKey(i), bo,
+                                        want_logps=False)
+    dt = _pipelined(ub, lambda r: (np.asarray(r[0]),
+                                   np.asarray(r[1]['ent_sum'])))
+    out['updown_beam5_cap_s'] = round(B / dt, 1)
+    return out
+
+
+def _train_opt(opt):
+    """Trainer options over the bench model shapes."""
+    from types import SimpleNamespace
+    t = SimpleNamespace(**vars(opt))
+    t.optim = 'adam'
+    t.optim_alpha, t.optim_beta, t.optim_epsilon = 0.9, 0.999, 1e-8
+    t.weight_decay = 0
+    t.grad_clip_mode, t.grad_clip_value = 'value', 0.1
+    t.label_smoothing = 0
+    t.noamopt = False
+    t.drop_worst_rate = 0
+    t.cider_reward_weight = 1.0
+    t.bleu_reward_weight = 0.0
+    t.sc_sample_method = 'greedy'
+    t.sc_beam_size = 1
+    t.train_sample_method = 'sample'
+    t.train_beam_size = 1
+    t.train_sample_n = 5
+    return t
+
 
 if __name__ == '__main__':
     main()

@@ -9,6 +9,7 @@ training forward (reference ``AttModel._forward``, AttModel.py:126-164 /
 
 from __future__ import annotations
 
+import inspect
 from typing import Any, Dict, Optional
 
 import jax
@@ -95,7 +96,14 @@ class Captioner:
                                mutable=['batch_stats'] if train else False)
             return out[0] if train else out
 
+        # models whose cache layout differs between train and eval decode
+        # (transformer's merged-lane pallas caches) take a train hint
+        _ist_train = 'train' in inspect.signature(
+            type(module).init_state).parameters
+
         def init_state(batch):
+            if _ist_train:
+                return module.init_state(batch, train=train)
             return module.init_state(batch)
 
         def step(it, feats, state, rng, logsoftmax=True, uniform_t=False,

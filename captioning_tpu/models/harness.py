@@ -76,6 +76,15 @@ class ModelConfig:
     dtype: Any = jnp.float32
 
 
+def _resolve_use_pallas(flag) -> int:
+    """-1/None = auto: fused kernels on when the backend is TPU (they are
+    parity-tested there); off on CPU/GPU, where the jnp twins run."""
+    if flag is None or int(flag) < 0:
+        import jax
+        return int(jax.default_backend() == 'tpu')
+    return int(flag)
+
+
 def config_from_opt(opt, vocab_size: int) -> ModelConfig:
     """Build a ModelConfig from an opts namespace / infos opt."""
     g = lambda k, d: getattr(opt, k, d)
@@ -112,7 +121,7 @@ def config_from_opt(opt, vocab_size: int) -> ModelConfig:
         decoder_type=g('decoder_type', 'AoA'),
         out_res=g('out_res', 0),
         rnn_type=g('rnn_type', 'lstm'),
-        use_pallas=int(g('use_pallas', 0) or 0),
+        use_pallas=_resolve_use_pallas(g('use_pallas', None)),
         dtype=dtype,
     )
 

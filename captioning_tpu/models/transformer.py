@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.beam_attend import attend_write_merged, _wa_block
 from .harness import ModelConfig
 from .layers import Dense, MaskedBatchNorm, MLPEmbed
 
@@ -109,6 +110,50 @@ def _attend_beam(q, k, v, anc, time_mask, bw, dropout_fn):
     p = dropout_fn(p)
     out = jnp.einsum('bqhst,bshtd->bqhd', p, v5)
     return out.reshape(N, h, 1, dk)
+
+
+def _attend_merged_eval(q, k, v, anc, time_mask, bw, h, dropout_fn):
+    """Eval twin of ``_attend_beam``/``_attend`` over MERGED-LANE caches.
+
+    ``use_pallas`` eval decode stores each layer's K/V as [N, Tp, h*dk]
+    (512 lanes fill VPU/MXU tiles exactly; the [N, h, T, dk=64] layout
+    reads every cache byte twice through the 128-lane pad) so the fused
+    write+attend kernel (ops/beam_attend.py) can stream it.  This jnp twin
+    carries the non-kernel cases: CPU/interpret runs and the staggered-t
+    diverse-beam path.  Identical math to the unmerged attends — the
+    reshapes below are free minor/major-dim regroups.
+
+    q: [N, D]; k/v: [N, Tp, D]; anc: [N, Tp] int32 (beam only);
+    time_mask: [N, Tp] bool.  Returns merged-head contexts [N, D].
+    """
+    N, T, D = k.shape
+    dk = D // h
+    scale = jnp.sqrt(jnp.asarray(dk, q.dtype))
+    if bw:
+        nb = N // bw
+        q4 = q.reshape(nb, bw, h, dk)
+        k5 = k.reshape(nb, bw, T, h, dk)
+        v5 = v.reshape(nb, bw, T, h, dk)
+        scores = jnp.einsum('bqhd,bsthd->bqhst', q4, k5) / scale
+        sel = jax.nn.one_hot(anc.reshape(nb, bw, T), bw, dtype=bool)
+        allowed = (jnp.moveaxis(sel, -1, -2) &
+                   time_mask.reshape(nb, bw, 1, T))
+        scores = jnp.where(allowed[:, :, None], scores, _NEG_INF)
+        p = jax.nn.softmax(
+            scores.reshape(nb, bw, h, bw * T).astype(jnp.float32),
+            axis=-1).astype(q.dtype).reshape(nb, bw, h, bw, T)
+        p = dropout_fn(p)
+        out = jnp.einsum('bqhst,bsthd->bqhd', p, v5)
+        return out.reshape(N, D)
+    q3 = q.reshape(N, h, dk)
+    k4 = k.reshape(N, T, h, dk)
+    v4 = v.reshape(N, T, h, dk)
+    scores = jnp.einsum('bhd,bthd->bht', q3, k4) / scale
+    scores = jnp.where(time_mask[:, None, :], scores, _NEG_INF)
+    p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    p = dropout_fn(p)
+    out = jnp.einsum('bht,bthd->bhd', p, v4)
+    return out.reshape(N, D)
 
 
 def _attend_shared(q, k, v, mask, dropout_fn):
@@ -443,9 +488,9 @@ class TransformerCaptioner(nn.Module):
         # never materialized — the "cache" is the memory itself.
         return {'memory': memory, 'att_masks': att_masks}
 
-    def init_state(self, batch_size: int):
-        # PER-LAYER caches [B, h, T, dk] (k0..k{L-1}/v0..v{L-1}), not one
-        # stacked [B, L, h, T, dk] tensor: stacking was measured on the v5e
+    def init_state(self, batch_size: int, train: bool = False):
+        # PER-LAYER caches (k0..k{L-1}/v0..v{L-1}), not one stacked
+        # [B, L, h, T, dk] tensor: stacking was measured on the v5e
         # to cost ~9 ms/step at the beam-5 B=1024 headline shape (2916 ->
         # 1909 cap/s) regardless of whether the layer loop is unrolled
         # (static slices) or scanned — the per-layer dynamic-update-slices
@@ -453,14 +498,30 @@ class TransformerCaptioner(nn.Module):
         # the decode while-loop.  Separate buffers alias cleanly.  The
         # PARAM stacks stay (that is where the 665 s -> ~70 s cold-compile
         # win lives).
+        #
+        # Layouts: use_pallas eval decode holds each cache MERGED-LANE
+        # [B, Tp, h*dk] (Tp padded to 8 for DMA tile alignment) for the
+        # fused write+attend kernel (ops/beam_attend.py); train decode and
+        # use_pallas=0 keep [B, h, T, dk] — step() detects the layout from
+        # the cache rank, so the rng-exact RL recompute path is untouched.
         cfg = self.cfg
         T = cfg.seq_length + 1  # bos + seq_length steps
         h = cfg.num_att_heads
         dk = cfg.d_model // h
         state = {'t': jnp.zeros((batch_size,), jnp.int32)}
-        for i in range(cfg.N_dec):
-            state['k%d' % i] = jnp.zeros((batch_size, h, T, dk), cfg.dtype)
-            state['v%d' % i] = jnp.zeros((batch_size, h, T, dk), cfg.dtype)
+        if cfg.use_pallas and not train:
+            Tp = -(-T // 8) * 8
+            for i in range(cfg.N_dec):
+                state['k%d' % i] = jnp.zeros(
+                    (batch_size, Tp, cfg.d_model), cfg.dtype)
+                state['v%d' % i] = jnp.zeros(
+                    (batch_size, Tp, cfg.d_model), cfg.dtype)
+        else:
+            for i in range(cfg.N_dec):
+                state['k%d' % i] = jnp.zeros((batch_size, h, T, dk),
+                                             cfg.dtype)
+                state['v%d' % i] = jnp.zeros((batch_size, h, T, dk),
+                                             cfg.dtype)
         return state
 
     def step(self, it, feats, state, train: bool = False,
@@ -484,7 +545,8 @@ class TransformerCaptioner(nn.Module):
         h = cfg.num_att_heads
         dt = cfg.dtype
         t_rows = state['t']                       # [B]
-        T = state['k0'].shape[-2]
+        merged = state['k0'].ndim == 3            # [B, Tp, D] eval caches
+        T = state['k0'].shape[-2]                 # Tp when merged
         B = it.shape[0]
         t0 = t_rows[0]
         x = jnp.take(self.tgt_embed.astype(dt), it[:, None], axis=0)
@@ -502,9 +564,11 @@ class TransformerCaptioner(nn.Module):
         anc = time_mask = self_mask = None
         if uniform_t:
             self_mask = (pos_ids <= t0)[None, None, None, :]   # [1,1,1,T]
+            tmask_rows = jnp.broadcast_to((pos_ids <= t0)[None], (B, T))
         else:
             self_mask = (pos_ids[None, :] <= t_rows[:, None]
                          )[:, None, None, :]                   # [B,1,1,T]
+            tmask_rows = pos_ids[None, :] <= t_rows[:, None]
         # shared cross-attention: feats may carry one row per beam block
         # (sample_beam passes un-replicated memory when the model supports
         # shared feats); detected by shape so it works with either the
@@ -519,11 +583,27 @@ class TransformerCaptioner(nn.Module):
             if uniform_t:
                 anc = jax.lax.dynamic_update_slice_in_dim(
                     state['anc'], slot[:, None], t0, axis=1)
-                time_mask = jnp.broadcast_to((pos_ids <= t0)[None], (B, T))
             else:
                 anc = state['anc'].at[rows, t_rows].set(slot)
-                time_mask = pos_ids[None, :] <= t_rows[:, None]
+            time_mask = tmask_rows
             new_state['anc'] = anc
+
+        # fused write+attend kernel (ops/beam_attend.py) over the merged
+        # caches: eval-only (no attention dropout) and uniform-t.  Greedy/
+        # sampling rows (beam_width == 0) run as pseudo-beam blocks — bw_eff
+        # rows share one kernel block with an identity ancestry, turning
+        # the per-row matvecs into near-full-lane MXU matmuls.
+        use_kernel = (merged and uniform_t and not train
+                      and jax.default_backend() == 'tpu')
+        anc_k, bw_eff = anc, beam_width
+        if use_kernel:
+            if not beam_width:
+                bw_eff = next((g for g in (8, 4, 2, 1) if B % g == 0))
+                anc_k = jnp.broadcast_to(
+                    (rows % bw_eff).astype(jnp.int32)[:, None], (B, T))
+            cb = _wa_block(B // bw_eff, bw_eff, h, T, cfg.d_model,
+                           jnp.dtype(dt).itemsize)
+            use_kernel = cb is not None
 
         dropped = train and cfg.dropout > 0
 
@@ -534,26 +614,51 @@ class TransformerCaptioner(nn.Module):
             lazily, FFN.  Params come pre-sliced from the [L]-stacked
             arrays (static index, free)."""
             y = _pln(x, lp['n1']['a'], lp['n1']['b'])
-            q = _split_heads(_plin(y, lp['s_wq'], dt), h)     # [B, h, 1, dk]
-            k_new = _split_heads(_plin(y, lp['s_wk'], dt), h)
-            v_new = _split_heads(_plin(y, lp['s_wv'], dt), h)
-            if uniform_t:
-                k_cache = jax.lax.dynamic_update_slice_in_dim(
-                    k_cache, k_new, t0, axis=2)
-                v_cache = jax.lax.dynamic_update_slice_in_dim(
-                    v_cache, v_new, t0, axis=2)
+            if merged:
+                q_m = _plin(y, lp['s_wq'], dt)[:, 0]          # [B, D]
+                k_new = _plin(y, lp['s_wk'], dt)[:, 0]
+                v_new = _plin(y, lp['s_wv'], dt)[:, 0]
+                if use_kernel:
+                    ctx, k_cache, v_cache = attend_write_merged(
+                        q_m, k_cache, v_cache, k_new, v_new, anc_k, t0,
+                        bw=bw_eff, h=h)
+                else:
+                    if uniform_t:
+                        k_cache = jax.lax.dynamic_update_slice_in_dim(
+                            k_cache, k_new[:, None], t0, axis=1)
+                        v_cache = jax.lax.dynamic_update_slice_in_dim(
+                            v_cache, v_new[:, None], t0, axis=1)
+                    else:
+                        k_cache = k_cache.at[rows, t_rows].set(k_new)
+                        v_cache = v_cache.at[rows, t_rows].set(v_new)
+                    ctx = _attend_merged_eval(
+                        q_m, k_cache, v_cache, anc, tmask_rows, beam_width,
+                        h, self._attn_dropout(train))
+                y = _plin(ctx[:, None, :], lp['s_wo'], dt)
+                x = x + self._dropout(y, cfg.dropout, train)
             else:
-                k_cache = k_cache.at[rows, :, t_rows, :].set(k_new[:, :, 0, :])
-                v_cache = v_cache.at[rows, :, t_rows, :].set(v_new[:, :, 0, :])
-            if beam_width:
-                y = _plin(_merge_heads(_attend_beam(
-                    q, k_cache, v_cache, anc, time_mask, beam_width,
-                    self._attn_dropout(train))), lp['s_wo'], dt)
-            else:
-                y = _plin(_merge_heads(_attend(
-                    q, k_cache, v_cache, self_mask,
-                    self._attn_dropout(train))), lp['s_wo'], dt)
-            x = x + self._dropout(y, cfg.dropout, train)
+                q = _split_heads(_plin(y, lp['s_wq'], dt), h)  # [B,h,1,dk]
+                k_new = _split_heads(_plin(y, lp['s_wk'], dt), h)
+                v_new = _split_heads(_plin(y, lp['s_wv'], dt), h)
+                if uniform_t:
+                    k_cache = jax.lax.dynamic_update_slice_in_dim(
+                        k_cache, k_new, t0, axis=2)
+                    v_cache = jax.lax.dynamic_update_slice_in_dim(
+                        v_cache, v_new, t0, axis=2)
+                else:
+                    k_cache = k_cache.at[rows, :, t_rows, :].set(
+                        k_new[:, :, 0, :])
+                    v_cache = v_cache.at[rows, :, t_rows, :].set(
+                        v_new[:, :, 0, :])
+                if beam_width:
+                    y = _plin(_merge_heads(_attend_beam(
+                        q, k_cache, v_cache, anc, time_mask, beam_width,
+                        self._attn_dropout(train))), lp['s_wo'], dt)
+                else:
+                    y = _plin(_merge_heads(_attend(
+                        q, k_cache, v_cache, self_mask,
+                        self._attn_dropout(train))), lp['s_wo'], dt)
+                x = x + self._dropout(y, cfg.dropout, train)
 
             y = _lazy_cross_stk(
                 {'wq': lp['c_wq'], 'wk': lp['c_wk'],

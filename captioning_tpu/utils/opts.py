@@ -184,8 +184,15 @@ def build_parser():
                         help='call jax.distributed.initialize() with no '
                              'arguments (auto-detects TPU pod / SLURM / '
                              'JAX_COORDINATOR_ADDRESS environments)')
-    parser.add_argument('--use_pallas', type=int, default=0,
-                        help='enable pallas fused kernels on TPU')
+    parser.add_argument('--use_pallas', type=int, default=-1,
+                        help='pallas fused kernels: 1 = on, 0 = off, '
+                             '-1 (default) = auto (on when the backend is '
+                             'TPU; off elsewhere).  Covers the fused '
+                             'additive-attention kernel (RNN families) and '
+                             'the fused beam/greedy decode attend '
+                             '(transformer; eval decode only — captions '
+                             'can differ from the jnp path at exact bf16 '
+                             'logit ties, see BENCH.md)')
     parser.add_argument('--on_device_cider', type=int, default=-1,
                         help='fuse the whole SCST/structure iteration '
                              '(decode + CIDEr-D reward + grad) into one '

@@ -171,11 +171,68 @@ def write_pkdTb(cache, new, t):
     return jax.lax.dynamic_update_slice_in_dim(cache, e, t * BW, axis=-2)
 
 
+def attend_pal(q, k, v, anc, t):
+    """Round-5 candidate: merged-lane cache + the fused Pallas kernel
+    (ops/beam_attend.py) — mask+softmax+context in VMEM, zero
+    intermediates back to HBM."""
+    from captioning_tpu.ops.beam_attend import attend_merged
+    out = attend_merged(q.reshape(N, H * DK), k, v, anc, t, bw=BW, h=H)
+    return out.reshape(N, H, DK)
+
+
+def bench_palF():
+    """v3 fused write+attend: aliased in-place cache update inside the
+    kernel + valid-prefix-only loads.  Own harness (the shared one
+    separates write and attend)."""
+    from captioning_tpu.ops.beam_attend import attend_write_merged
+    key = jax.random.PRNGKey(0)
+    kq, ka = jax.random.split(key)
+    q0 = rand(kq, (N, H * DK))
+    Tp = ((T + 7) // 8) * 8  # v3 caches pad T for DMA tile alignment
+    anc0 = jax.random.randint(ka, (N, Tp), 0, BW, jnp.int32)
+    caches0 = [(jnp.zeros((N, Tp, H * DK), jnp.bfloat16),
+                jnp.zeros((N, Tp, H * DK), jnp.bfloat16))
+               for _ in range(LAYERS)]
+
+    def step(carry, _):
+        caches, q, anc, t = carry
+        new = []
+        outs = []
+        for k, v in caches:
+            ctx, k, v = attend_write_merged(
+                q, k, v, (q * 1.01).astype(k.dtype),
+                (q * 0.99).astype(v.dtype), anc, t, bw=BW, h=H)
+            new.append((k, v))
+            outs.append(ctx)
+        q2 = (jnp.stack(outs).sum(0) * 0.5).astype(q.dtype)
+        return (new, q2, anc, t + 1), ()
+
+    @jax.jit
+    def loop(caches, q, anc):
+        (_, q, _, _), _ = jax.lax.scan(
+            step, (caches, q, anc, jnp.int32(0)), None, length=STEPS)
+        return q
+
+    t0 = time.perf_counter()
+    np.asarray(loop(caches0, q0, anc0))
+    print(f'palF         compile+1 {time.perf_counter()-t0:6.1f}s',
+          flush=True)
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        out = loop(caches0, q0, anc0)
+    np.asarray(out)
+    ms = (time.perf_counter() - t0) / iters / STEPS * 1e3
+    print(f'palF         {ms:7.3f} ms/step ({LAYERS} layers, fused '
+          'write+attend)', flush=True)
+
+
 VARIANTS = {
     'cur': (attend_cur, write_cur, (N, H, T, DK)),
     'pkdS': (attend_pkdS, write_pkdS, (NB, H, DK, S)),
     'pkdT': (attend_pkdT, write_pkdT, (NB, H, S, DK)),
     'mrg': (attend_mrg, write_mrg, (N, T, H * DK)),
+    'pal': (attend_pal, write_mrg, (N, T, H * DK)),
     'pkdSb': (attend_pkdS, write_pkdSb, (NB, H, DK, S)),
     'pkdTb': (attend_pkdT, write_pkdTb, (NB, H, S, DK)),
 }
@@ -265,5 +322,7 @@ if __name__ == '__main__':
     w = sys.argv[1] if len(sys.argv) > 1 else 'check'
     if w == 'check':
         check()
+    elif w == 'palF':
+        bench_palF()
     else:
         bench(w.rstrip('W'), w.endswith('W'))

@@ -39,9 +39,16 @@ def main():
                              'datasets)')
     parser.add_argument('--force', type=int, default=0)
     parser.add_argument('--device', type=str, default='tpu')
+    parser.add_argument('--use_pallas', type=int, default=None,
+                        help='override the checkpoint opt: 1/0 force the '
+                             'fused TPU kernels on/off, -1 auto (on when '
+                             'the backend is TPU); default = inherit from '
+                             'the training infos')
     opts.add_eval_options(parser)
     opts.add_diversity_opts(parser)
     opt = parser.parse_args()
+    if opt.use_pallas is None:
+        del opt.use_pallas  # inherit from infos' opt below
     utils.enable_compilation_cache(opt.compilation_cache_dir)
     utils.set_rng_impl(getattr(opt, 'rng_impl', ''))
 
