@@ -265,8 +265,10 @@ class Trainer:
         """Fully-fused structure-loss iteration (e.g. new_self_critical or
         PPO): sampling + on-device CIDEr-D scores + structure/PPO loss
         (+ optional XE mix) + gradient in one jitted program.  PPO's frozen
-        old policy runs its logprob scan inside the same program.  Not
-        available for self-cider rewards (those keep the host path)."""
+        old policy runs its logprob scan inside the same program.  The
+        self-CIDEr diversity reward also runs on device
+        (ops/cider_device.py:self_cider_grouped), so self_cider_reward_weight
+        no longer forces the host path."""
         opt = self.opt
         key = 'struc_fused'
         if key not in self._cache:
@@ -282,6 +284,7 @@ class Trainer:
             cider_w = float(opt.cider_reward_weight)
             bleu_w = float(getattr(opt, 'bleu_reward_weight', 0))
             entropy_w = float(getattr(opt, 'entropy_reward_weight', 0))
+            self_cider_w = float(getattr(opt, 'self_cider_reward_weight', 0))
             old_variables = self.old_variables
 
             def loss_fn(variables, fc, att, labels, masks, am, refs,
@@ -311,9 +314,16 @@ class Trainer:
                         cliprange=float(opt.ppo_cliprange),
                         kl_coef=float(opt.ppo_kl_coef))
                 else:
+                    sc_scores = None
+                    if self_cider_w > 0:
+                        sc_scores = jax.lax.stop_gradient(
+                            device_scorer.self_cider_grouped(
+                                gen_seq, sample_n).astype(jnp.float32))
                     struc = losses.structure_loss(
                         gen_lp, gen_seq, scores, opt.structure_loss_type,
-                        sample_n, entropy_reward_weight=entropy_w)
+                        sample_n, entropy_reward_weight=entropy_w,
+                        self_cider_scores=sc_scores,
+                        self_cider_weight=self_cider_w)
                 loss = (1 - w) * lm_loss + w * struc['loss']
                 aux = {'lm_loss': lm_loss, 'struc_loss': struc['loss'],
                        'reward': struc['reward']}

@@ -311,6 +311,43 @@ class DeviceCiderD:
         adv = (s_gen - s_greedy[:, None]).reshape(N)
         return jnp.repeat(adv[:, None], gen.shape[1], axis=1)
 
+    def self_cider_grouped(self, gen, n: int):
+        """Self-CIDEr diversity reward fully on device: gen [B*n, L] ->
+        scores [B] (reference rewards.py:114-135).
+
+        Per image, the PLAIN-Cider gram matrix over the n samples:
+        G[i, j] = mean_k( <tf_i*idf, tf_j*idf>_k / (norm_i,k norm_j,k) )
+        * 10, via the position-pairwise identity
+        <v_i, v_j>_k = sum_{positions p of i} mult_j(p) * idf_p^2 (each
+        of i's positions contributes tf_j*idf^2 once, so summing over
+        positions multiplies by tf_i).  Then the reference's eigenvalue
+        diversity: -log(sqrt(l_max) / sum sqrt(l_+)) / log(n) over
+        eigvalsh(G / 10).  Plain Cider has no clipping and no length
+        gaussian, and its tf-idf uses the SAME cached df table as
+        CIDEr-D (utils/cider_scorer.py Cider._counts2vec), so the stats
+        machinery is shared.  Host scorer runs the eig in f64; device
+        f32 agrees to ~1e-5 (tests/test_cider_device.py).
+        """
+        N, L = gen.shape
+        B = N // n
+        st = self.sentence_stats(gen)
+        g = jax.tree.map(lambda x: x.reshape((B, n) + x.shape[1:]), st)
+        a = jax.tree.map(lambda x: x[:, :, None], g)     # [B, n, 1, ...]
+        bb = jax.tree.map(lambda x: x[:, None], g)       # [B, 1, n, ...]
+        m = self._multiplicity(a['h1'], a['h2'],
+                               a['valid'].astype(jnp.float32),
+                               bb['h1'], bb['h2'], bb['valid'])
+        dot = jnp.sum(m * a['idf'] ** 2, axis=-1)        # [B, n, n, MAX_N]
+        denom = a['norm'] * bb['norm']
+        sim = jnp.where(denom > 0, dot / jnp.maximum(denom, 1e-12), 0.0)
+        gram = sim.mean(-1)                              # [B, n, n] (G/10)
+        lam = jnp.clip(jnp.linalg.eigvalsh(gram), 0.0, None)
+        sq = jnp.sqrt(lam)                               # ascending
+        ssum = sq.sum(-1)
+        ratio = jnp.where(ssum > 0,
+                          sq[..., -1] / jnp.maximum(ssum, 1e-12), 1.0)
+        return -jnp.log(jnp.maximum(ratio, 1e-12)) / np.log(n)
+
 
 def pad_gts(data_gts, pad_to_multiple: int = 1):
     """Host helper: list of [n_i, Lr] int arrays -> (refs [B, R, Lr],

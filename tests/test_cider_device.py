@@ -291,3 +291,83 @@ def test_device_grouped_scores_match_host_get_scores_mixed(ds):
         np.abs(host - dev_scores).max()
     rewards.CiderD_scorer = None
     rewards.Bleu_scorer = None
+
+
+def test_device_self_cider_matches(ds):
+    """self_cider_grouped == utils/rewards.get_self_cider_scores (the host
+    plain-Cider gram + eig diversity), up to f32-vs-f64 eig rounding."""
+    from captioning_tpu.ops.cider_device import DeviceCiderD
+    from captioning_tpu.utils import rewards
+    from captioning_tpu.utils.cider_scorer import Cider
+
+    rewards.Cider_scorer = Cider(df=ds.cached_tokens)
+
+    class Opt:
+        pass
+
+    rng = np.random.RandomState(3)
+    B, n, L = 6, 5, 7
+    gen = rng.randint(0, 26, (B * n, L)).astype(np.int32)
+    # ensure some variety: a duplicated pair (rank-deficient gram) and a
+    # row that terminates immediately
+    gen[1] = gen[0]
+    gen[2 * n][0] = 0
+    gts = [rng.randint(1, 26, (3, 6)) for _ in range(B)]
+
+    host = rewards.get_self_cider_scores(gts, gen, Opt())
+
+    dev = DeviceCiderD(ds.cached_tokens)
+    got = np.asarray(dev.self_cider_grouped(jnp.asarray(gen), n))
+
+    assert host.shape == got.shape == (B,)
+    assert np.allclose(host, got, atol=2e-4), np.abs(host - got).max()
+
+
+def test_struc_fused_step_self_cider_runs(ds):
+    """Fused structure step with the on-device self-CIDEr diversity reward
+    (self_cider_reward_weight > 0 no longer forces the host path)."""
+    import jax
+    from types import SimpleNamespace
+    from captioning_tpu.models import setup
+    from captioning_tpu.modules.trainer import Trainer
+    from captioning_tpu.ops.cider_device import DeviceCiderD, pad_gts
+
+    opt = SimpleNamespace(
+        caption_model='att2in2', vocab_size=25, input_encoding_size=12,
+        rnn_size=16, num_layers=1, drop_prob_lm=0.5, fc_feat_size=8,
+        att_feat_size=10, att_hid_size=8, seq_per_img=2, max_length=6,
+        compute_dtype='float32',
+        optim='adam', optim_alpha=0.9, optim_beta=0.999, optim_epsilon=1e-8,
+        weight_decay=0, grad_clip_mode='value', grad_clip_value=0.1,
+        label_smoothing=0, noamopt=False, drop_worst_rate=0,
+        train_sample_n=3, train_sample_method='sample', train_beam_size=1,
+        structure_loss_type='new_self_critical', structure_loss_weight=1.0,
+        struc_use_logsoftmax=False, cider_reward_weight=1,
+        entropy_reward_weight=0, use_ppo=0, self_cider_reward_weight=0.5)
+    vocab = {str(i): 'w%d' % i for i in range(1, 26)}
+    cap = setup(opt, vocab)
+    variables = cap.init_params(jax.random.PRNGKey(0), att_len=4)
+    trainer = Trainer(cap, opt)
+    opt_state = trainer.init_opt_state(variables)
+    dev = DeviceCiderD(ds.cached_tokens)
+
+    rng = np.random.RandomState(4)
+    B = 4
+    fc = jnp.asarray(rng.randn(B, 8).astype('float32'))
+    att = jnp.asarray(rng.randn(B, 4, 10).astype('float32'))
+    am = jnp.ones((B, 4))
+    labels = jnp.asarray(rng.randint(0, 25, (B, 2, 8)))
+    masks = jnp.ones((B, 2, 8))
+    gts = [rng.randint(1, 26, (3, 6)) for _ in range(B)]
+    for g in gts:
+        g[:, -1] = 0
+    refs, mask = pad_gts(gts)
+
+    import jax as _j
+    for i in range(2):
+        r1, r2 = _j.random.split(_j.random.PRNGKey(i))
+        variables, opt_state, out = trainer.struc_fused_step(
+            variables, opt_state, fc, att, labels, masks, am,
+            jnp.asarray(refs), jnp.asarray(mask), 1e-4, r1, r2, dev)
+    assert np.isfinite(float(out['loss']))
+    assert np.isfinite(float(np.asarray(out['reward']).mean()))

@@ -434,12 +434,12 @@ def train(opt):
             out = {}
             # --on_device_cider: -1 auto / 1 on / 0 off. Auto (the
             # production default) takes the fused path whenever eligible:
-            # CIDEr-D and/or BLEU-4 reward (both on device), no drop-worst,
-            # no self-cider.
+            # CIDEr-D and/or BLEU-4 reward and the self-CIDEr diversity
+            # reward all run on device; drop-worst keeps the host path
+            # (its per-sample loss sort needs the unfused step).
             if struc_flag and getattr(opt, 'on_device_cider', -1) != 0 and \
                     (opt.cider_reward_weight > 0 or
                      opt.bleu_reward_weight > 0) and \
-                    getattr(opt, 'self_cider_reward_weight', 0) == 0 and \
                     not drop_worst_flag:
                 # fully fused structure-loss (NSC, PPO, ...) iteration
                 import jax.numpy as jnp
