@@ -30,6 +30,7 @@ from types import SimpleNamespace
 import numpy as np
 
 REFERENCE_CAPTIONS_PER_SEC = 15.0  # estimated torch single-GPU baseline
+_CACHE_STATE = 'cold'  # set by main(): persistent-cache state at startup
 
 # published bf16 peaks per chip (TFLOP/s) for the MFU denominator
 _PEAK_BF16_TFLOPS = {
@@ -77,9 +78,12 @@ def main():
     import jax
     # persistent compile cache: the beam-search program is large; cache it
     # across bench invocations
-    jax.config.update('jax_compilation_cache_dir',
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   '.jax_cache'))
+    global _CACHE_STATE
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             '.jax_cache')
+    _CACHE_STATE = ('warm' if os.path.isdir(cache_dir) and os.listdir(cache_dir)
+                    else 'cold')
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
     import jax.numpy as jnp
     from captioning_tpu.models import setup
@@ -161,6 +165,10 @@ def main():
     peak = _chip_peak_tflops(jax.devices()[0]) * 1e12
     mfu_pct = 100.0 * flops_per_iter * iters / dt / peak
 
+    # compile_s is honest about the persistent .jax_cache: 'cold' means
+    # the cache dir was empty/absent when this process started, 'warm'
+    # means prior entries existed (production deployments ship the cache;
+    # BENCH.md records both numbers)
     print(json.dumps({
         'metric': 'captions_per_sec_per_chip_beam5_transformer',
         'value': round(cps, 2),
@@ -168,6 +176,7 @@ def main():
         'vs_baseline': round(cps / REFERENCE_CAPTIONS_PER_SEC, 2),
         'mfu_pct': round(mfu_pct, 2),
         'compile_s': round(compile_s, 1),
+        'compile_cache': _CACHE_STATE,
     }))
     import sys
     print('details: batch=%d iters=%d steady=%.2fs (pipelined; synced '
@@ -190,10 +199,14 @@ def main():
         print('suite: %s' % json.dumps(suite), file=sys.stderr)
 
 
-def _pipelined(fn, fetch, iters=3):
+def _pipelined(fn, fetch, iters=3, warm=True):
     """Deferred-fetch timing: batch i's fetch after batch i+1 dispatches
-    (the production loop pattern; see the headline timing above)."""
+    (the production loop pattern; see the headline timing above).  One
+    warmup call first so compile time stays out of the steady-state
+    number (the headline reports compile_s separately)."""
     import time as _t
+    if warm:
+        fetch(fn(97))
     prev = None
     t0 = _t.time()
     for i in range(iters):
@@ -224,12 +237,16 @@ def _suite_rows(captioner, variables, fc, att, am, opt, B):
                                   np.asarray(r[1]['ent_sum'])))
     out['greedy_cap_s'] = round(B / dt, 1)
 
-    # XE train step at B=128x5 (rbg prng = the train production default)
+    # XE train step at B=128x5 (rbg prng = the train production default).
+    # The train steps DONATE (variables, opt_state) — thread both through,
+    # exactly like tools/train.py does (re-passing a donated array is a
+    # deleted-buffer error on TPU; CPU only warns)
     jax.config.update('jax_default_prng_impl', 'rbg')
     try:
         topt = _train_opt(opt)
         trainer = Trainer(captioner, topt)
-        opt_state = trainer.init_opt_state(variables)
+        tvars = jax.tree.map(jnp.copy, variables)  # keep caller's alive
+        opt_state = trainer.init_opt_state(tvars)
         xb = 128
         fcx, attx, amx = fc[:xb], att[:xb], am[:xb]
         labels = jnp.asarray(rng.randint(1, opt.vocab_size, (xb, 5, 18)),
@@ -237,9 +254,9 @@ def _suite_rows(captioner, variables, fc, att, am, opt, B):
         masks = jnp.ones((xb, 5, 18), jnp.float32)
 
         def xe(i):
-            nonlocal opt_state
-            _, opt_state, o = trainer.xe_step(
-                variables, opt_state, fcx, attx, labels, masks, amx,
+            nonlocal opt_state, tvars
+            tvars, opt_state, o = trainer.xe_step(
+                tvars, opt_state, fcx, attx, labels, masks, amx,
                 4e-4, 0.0, jax.random.PRNGKey(i))
             return o
         dt = _pipelined(xe, lambda o: float(o['loss']))
@@ -256,10 +273,10 @@ def _suite_rows(captioner, variables, fc, att, am, opt, B):
         refs, ref_mask = jnp.asarray(refs), jnp.asarray(ref_mask)
 
         def sc(i):
-            nonlocal opt_state
+            nonlocal opt_state, tvars
             r1, r2 = jax.random.split(jax.random.PRNGKey(i))
-            _, opt_state, o = trainer.sc_fused_step(
-                variables, opt_state, fcs, atts, ams, refs, ref_mask,
+            tvars, opt_state, o = trainer.sc_fused_step(
+                tvars, opt_state, fcs, atts, ams, refs, ref_mask,
                 4e-4, r1, r2, scorer)
             return o
         dt = _pipelined(sc, lambda o: float(o['loss']))

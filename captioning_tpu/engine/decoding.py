@@ -64,6 +64,16 @@ class DecodeModel:
     # (nb = rows // beam_width); sample_beam then skips the per-lane feats
     # replication, cutting the cross-attend HBM traffic by the beam width.
     shared_beam_feats: bool = False
+    # Fused logit epilogue (ops/logit_topk.py): step to the final hidden,
+    # then matmul + log-softmax + stats + per-row top-k in one pass — the
+    # [N, V1] table never reaches HBM.  Signature:
+    #   step_topk(it, feats, state, rng, k, temp, unk_bias, unk_idx,
+    #             beam_width) -> (top_lsm [N,k], top_ix [N,k],
+    #                             row_sum [N], ent [N], state)
+    # top_lsm are UNK-adjusted log-softmax values; per-row top-k commutes
+    # with the beam candidate add (a per-row shift).  The fast beam path
+    # uses it when set (static temperature only).
+    step_topk: Optional[Callable] = None
 
 
 # ---------------------------------------------------------------------------
@@ -404,9 +414,39 @@ def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
 
     step_rngs = jax.random.split(rng, L * 2).reshape(L, 2, -1)
 
+    # fused greedy epilogue (ops/logit_topk.py): the stats path reduces
+    # the [N, V1] table to argmax + two scalars per row — with no
+    # constraint scatters in the way, step_topk(k=1) produces exactly
+    # those and the table never reaches HBM.  Small batches only: at
+    # N=64 the kernel wins the step (29.5 -> 23.5 ms/call, latency-bound
+    # epilogue), at N=1024 the one big MXU generator matmul + fused
+    # argmax beats it (12766 vs 11309 cap/s measured on v5e) — the
+    # kernel's per-tile selection sweeps scale with rows, XLA's don't
+    fused_greedy = (return_stats and dm.step_topk is not None
+                    and dynamic_params is None
+                    and sample_method == 'greedy'
+                    and bool(output_logsoftmax)
+                    and not decoding_constraint and not block_trigrams
+                    and not remove_bad_endings and N % 8 == 0
+                    and N <= 256)
+
     def body(carry, xs):
         it_prev, state, unfinished, seq_buf, ent_sum, lp_sum, t = carry
         rngs = xs
+        if fused_greedy:
+            tv1, ti1, _, en1, state = dm.step_topk(
+                it_prev, feats, state, rngs[0], 1, 1.0, 0.0, -1, 0)
+            it = ti1[:, 0].astype(jnp.int32)
+            first = (t == 0)
+            it = jnp.where(first | unfinished, it, dm.pad_idx)
+            keep = first | unfinished
+            unfinished = jnp.where(first, it != dm.eos_idx,
+                                   unfinished & (it != dm.eos_idx))
+            seq_buf = seq_buf.at[:, t].set(it)
+            ent_sum = ent_sum + jnp.where(keep, en1, 0.0)
+            lp_sum = lp_sum + jnp.where(keep, tv1[:, 0], 0.0)
+            return (it, state, unfinished, seq_buf, ent_sum, lp_sum,
+                    t + 1), it
         logprobs, state = dm.step(it_prev, feats, state, rngs[0],
                                   bool(output_logsoftmax), uniform_t=True)
         # it_prev == seq[:, t-1] for t >= 1; constraints are gated on t > 0
@@ -616,6 +656,12 @@ def _beam_search_fast(dm: DecodeModel, init_logprobs, init_state,
     V1 = dm.vocab_plus
     NBG = B * bdash
     use_anc = dm.beam_init is not None and dm.beam_reorder is not None
+    # fused logit epilogue: the carried [NBG, V1] candidate table shrinks
+    # to per-row top-bdash survivors (selection commutes with the per-row
+    # beam-sum shift; at t=0 the lane-0 row's top-bdash covers the global
+    # top-bdash).  Static temperature only — dynamic_params traces it.
+    fused = (dm.step_topk is not None and dynamic_params is None
+             and NBG % 8 == 0)
 
     state = repeat_tree(bdash, init_state)
     if use_anc:
@@ -647,8 +693,18 @@ def _beam_search_fast(dm: DecodeModel, init_logprobs, init_state,
 
     # t = 0: every lane holds the bos distribution; lanes > 0 masked off
     lsm0 = _unk_adjust(init_logprobs)                       # [B, V1]
-    first_mask = jnp.where(jnp.arange(bdash) > 0, NEG, 0.0)  # [bdash]
-    cand = (lsm0[:, None, :] + first_mask[None, :, None]).reshape(NBG, V1)
+    if fused:
+        # lane 0's per-row top-bdash covers the global top-bdash exactly
+        tv0, ti0 = jax.lax.top_k(lsm0, bdash)               # [B, bdash]
+        lane0 = jnp.arange(bdash) == 0
+        cand = (jnp.where(lane0[None, :, None], tv0[:, None, :],
+                          NEG).reshape(NBG, bdash),
+                jnp.broadcast_to(ti0[:, None, :],
+                                 (B, bdash, bdash)).reshape(NBG, bdash))
+    else:
+        first_mask = jnp.where(jnp.arange(bdash) > 0, NEG, 0.0)  # [bdash]
+        cand = (lsm0[:, None, :] +
+                first_mask[None, :, None]).reshape(NBG, V1)
     row_sum = jnp.broadcast_to(lsm0.sum(-1)[:, None], (B, bdash))
     ent_row = jnp.broadcast_to(
         -(jnp.exp(lsm0) * lsm0).sum(-1)[:, None], (B, bdash))
@@ -681,9 +737,23 @@ def _beam_search_fast(dm: DecodeModel, init_logprobs, init_state,
         # slower, 2710 vs 2879 cap/s with a 216 -> 493 s compile — XLA's
         # TPU lowering of tuple-operand reduce does not vectorize like the
         # single-operand reductions this step's budget assumed)
-        ys, ix = jax.lax.top_k(cand.reshape(B, bdash * V1), bdash)
-        beam_ix = ix // V1
-        sel_ix = ix % V1
+        if fused:
+            # per-row survivors + the (per-row constant) beam-sum shift;
+            # entries are (beam, rank)-ordered, so flat ties resolve to
+            # the lowest beam then the lowest vocab index — the same
+            # order the [B, bdash*V1] top_k walks
+            tv_c, ti_c = cand
+            cand_s = (tv_c.reshape(B, bdash, bdash) +
+                      beam_logprobs_sum[:, :, None]
+                      ).reshape(B, bdash * bdash)
+            ys, jx = jax.lax.top_k(cand_s, bdash)
+            beam_ix = jx // bdash
+            sel_ix = jnp.take_along_axis(
+                ti_c.reshape(B, bdash * bdash), jx, axis=1)
+        else:
+            ys, ix = jax.lax.top_k(cand.reshape(B, bdash * V1), bdash)
+            beam_ix = ix // V1
+            sel_ix = ix % V1
 
         time_onehot = jax.nn.one_hot(t, L, dtype=bool)      # [L]
         new_seq = jnp.where(time_onehot[None, None, :], sel_ix[..., None],
@@ -724,16 +794,29 @@ def _beam_search_fast(dm: DecodeModel, init_logprobs, init_state,
         it = sel_ix.reshape(NBG).astype(jnp.int32)
         if use_anc:
             new_state = dm.beam_reorder(state, state_ix)
+        else:
+            new_state = reorder_state(state, state_ix)
+        if fused:
+            tv_c, ti_c, rs, en, state = dm.step_topk(
+                it, feats_per_beam, new_state, step_rng, bdash,
+                temperature, -1000.0 * unk_scale if apply_unk else 0.0,
+                dm.unk_idx if apply_unk else -1,
+                bdash if use_anc else 0)
+            cand = (tv_c, ti_c)
+            row_sum = rs.reshape(B, bdash)
+            ent_row = en.reshape(B, bdash)
+        elif use_anc:
             step_lp, state = dm.step(
                 it, feats_per_beam, new_state, step_rng, False,
                 uniform_t=True, beam_width=bdash)
+            step_lp = jax.nn.log_softmax(step_lp / temperature, axis=-1)
+            cand, row_sum, ent_row = _finish_table(step_lp, new_sums)
         else:
-            new_state = reorder_state(state, state_ix)
             step_lp, state = dm.step(
                 it, feats_per_beam, new_state, step_rng, False,
                 uniform_t=True)
-        step_lp = jax.nn.log_softmax(step_lp / temperature, axis=-1)
-        cand, row_sum, ent_row = _finish_table(step_lp, new_sums)
+            step_lp = jax.nn.log_softmax(step_lp / temperature, axis=-1)
+            cand, row_sum, ent_row = _finish_table(step_lp, new_sums)
 
         return (state, cand, row_sum, ent_row, new_seq, new_ucum, new_sums,
                 new_ent, new_lpc, pool_seq, pool_p, pool_unaug, pool_ent,

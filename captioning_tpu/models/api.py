@@ -141,13 +141,38 @@ class Captioner:
                              else jnp.take(vv, flat_idx, axis=0))
                         for kk, vv in state.items()}
 
+        # fused logit epilogue: eval-only, TPU, bf16 compute (the resident
+        # generator weight block must fit VMEM; ~10 MB at the COCO vocab)
+        step_topk = None
+        V1 = cfg.vocab_size + 1
+        if (getattr(type(module), 'SUPPORTS_FUSED_LOGIT', False)
+                and not train and cfg.use_pallas
+                and cfg.dtype == jnp.bfloat16
+                and jax.default_backend() == 'tpu'
+                and cfg.d_model * (-(-V1 // 512) * 512) * 2
+                <= 11 * 1024 * 1024):
+            from ..ops.logit_topk import logit_topk
+            gen = variables['params']['generator']
+
+            def step_topk(it, feats, state, rng, k, temp, unk_bias,
+                          unk_idx, beam_width=0):
+                hid, st = module.apply(
+                    variables, it, feats, state, False, False, True,
+                    beam_width, True, method=type(module).step)
+                tv, ti, rs, en = logit_topk(
+                    hid, gen['kernel'].astype(cfg.dtype), gen['bias'],
+                    k=int(k), temp=float(temp), unk_idx=int(unk_idx),
+                    unk_bias=float(unk_bias))
+                return tv, ti, rs, en, st
+
         return DecodeModel(
             prepare=prepare, init_state=init_state, step=step,
             seq_length=cfg.seq_length, vocab_plus=cfg.vocab_size + 1,
             bos_idx=cfg.bos_idx, eos_idx=cfg.eos_idx, pad_idx=cfg.pad_idx,
             unk_idx=self.unk_idx, bad_endings_ix=self.bad_endings_ix,
             beam_init=beam_init, beam_reorder=beam_reorder,
-            shared_beam_feats=self._shared_beam_feats())
+            shared_beam_feats=self._shared_beam_feats(),
+            step_topk=step_topk)
 
     # RNN-harness models whose cores touch attention features ONLY through
     # AttentionHead (layers.additive_attention handles block-shared rows);

@@ -346,6 +346,9 @@ class TransformerCaptioner(nn.Module):
     # (nb = B // beam_width) instead of lane-replicated rows, halving+
     # the cross-attend HBM traffic (see _attend_shared)
     SUPPORTS_SHARED_BEAM_FEATS = True
+    # step(return_hidden=True) exposes the pre-generator hidden so the
+    # engine can run the fused logit epilogue (ops/logit_topk.py)
+    SUPPORTS_FUSED_LOGIT = True
 
     def setup(self):
         cfg = self.cfg
@@ -526,7 +529,7 @@ class TransformerCaptioner(nn.Module):
 
     def step(self, it, feats, state, train: bool = False,
              logsoftmax: bool = True, uniform_t: bool = False,
-             beam_width: int = 0):
+             beam_width: int = 0, return_hidden: bool = False):
         """Single cached decoder step (cachedTransformer.py:398-420).
 
         ``t`` is PER ROW (state['t']): diverse-beam groups are staggered in
@@ -686,6 +689,10 @@ class TransformerCaptioner(nn.Module):
                 x, lp, state['k%d' % i], state['v%d' % i])
 
         x = self.dec_final_norm(x)[:, 0]
+        if return_hidden:
+            # the fused logit epilogue (ops/logit_topk.py) applies the
+            # generator itself, in-kernel
+            return x, new_state
         logits = self.generator(x).astype(jnp.float32)
         state = new_state
         if logsoftmax:
