@@ -43,7 +43,7 @@ NEG = -1e30  # "never selected" sentinel (finite to keep arithmetic NaN-free)
 class DecodeModel:
     """Pure-function view of a captioner, bound to params."""
     prepare: Callable  # (fc, att, att_masks, rng) -> feats pytree
-    init_state: Callable  # (batch,) -> state pytree
+    init_state: Callable  # (batch, beam=False) -> state pytree
     step: Callable  # (it, feats, state, rng, logsoftmax) -> (logprobs, state)
     seq_length: int
     vocab_plus: int  # V + 1
@@ -417,25 +417,25 @@ def sample(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
     # fused greedy epilogue (ops/logit_topk.py): the stats path reduces
     # the [N, V1] table to argmax + two scalars per row — with no
     # constraint scatters in the way, step_topk(k=1) produces exactly
-    # those and the table never reaches HBM.  Small batches only: at
-    # N=64 the kernel wins the step (29.5 -> 23.5 ms/call, latency-bound
-    # epilogue), at N=1024 the one big MXU generator matmul + fused
-    # argmax beats it (12766 vs 11309 cap/s measured on v5e) — the
-    # kernel's per-tile selection sweeps scale with rows, XLA's don't
+    # those and the table never reaches HBM.  The eval stats (and the
+    # greedy argmax) are taken on the UNTEMPERED log-softmax (temperature
+    # only shapes the sampling distribution in sample_next_word*), so the
+    # kernel runs at temp=1 even under dynamic params; the method must be
+    # STATICALLY greedy (sample_stats_jit pins it for the production eval
+    # program), since dynamic gumbel/categorical need the full table.
     fused_greedy = (return_stats and dm.step_topk is not None
-                    and dynamic_params is None
                     and sample_method == 'greedy'
                     and bool(output_logsoftmax)
                     and not decoding_constraint and not block_trigrams
-                    and not remove_bad_endings and N % 8 == 0
-                    and N <= 256)
+                    and not remove_bad_endings and N % 8 == 0)
 
     def body(carry, xs):
         it_prev, state, unfinished, seq_buf, ent_sum, lp_sum, t = carry
         rngs = xs
         if fused_greedy:
             tv1, ti1, _, en1, state = dm.step_topk(
-                it_prev, feats, state, rngs[0], 1, 1.0, 0.0, -1, 0)
+                it_prev, feats, state, rngs[0], 1, jnp.float32(1.0),
+                jnp.float32(0.0), -1, 0)
             it = ti1[:, 0].astype(jnp.int32)
             first = (t == 0)
             it = jnp.where(first | unfinished, it, dm.pad_idx)
@@ -659,9 +659,9 @@ def _beam_search_fast(dm: DecodeModel, init_logprobs, init_state,
     # fused logit epilogue: the carried [NBG, V1] candidate table shrinks
     # to per-row top-bdash survivors (selection commutes with the per-row
     # beam-sum shift; at t=0 the lane-0 row's top-bdash covers the global
-    # top-bdash).  Static temperature only — dynamic_params traces it.
-    fused = (dm.step_topk is not None and dynamic_params is None
-             and NBG % 8 == 0)
+    # top-bdash).  temperature / unk suppression ride into the kernel as
+    # traced scalars, so the dynamic-params program fuses too.
+    fused = dm.step_topk is not None and NBG % 8 == 0
 
     state = repeat_tree(bdash, init_state)
     if use_anc:
@@ -799,7 +799,9 @@ def _beam_search_fast(dm: DecodeModel, init_logprobs, init_state,
         if fused:
             tv_c, ti_c, rs, en, state = dm.step_topk(
                 it, feats_per_beam, new_state, step_rng, bdash,
-                temperature, -1000.0 * unk_scale if apply_unk else 0.0,
+                jnp.float32(temperature),
+                -1000.0 * jnp.float32(unk_scale) if apply_unk
+                else jnp.float32(0.0),
                 dm.unk_idx if apply_unk else -1,
                 bdash if use_anc else 0)
             cand = (tv_c, ti_c)
@@ -1207,7 +1209,11 @@ def sample_beam(dm: DecodeModel, fc_feats, att_feats, att_masks, rng,
 
     rng, prep_rng, bos_rng, bs_rng = jax.random.split(rng, 4)
     feats = dm.prepare(fc_feats, att_feats, att_masks, prep_rng)
-    state = dm.init_state(B)
+    # beam=True only for single-group beams: diverse groups decode with
+    # STAGGERED per-row t, which the fused write+attend kernel (and its
+    # merged-lane cache layout) cannot serve — models pick per-mode cache
+    # layouts off this hint (transformer.init_state)
+    state = dm.init_state(B, beam=(group_size == 1))
     it = jnp.full((B,), dm.bos_idx, jnp.int32)
     init_logprobs, state = dm.step(it, feats, state, bos_rng, True,
                                    uniform_t=True)

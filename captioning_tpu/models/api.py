@@ -97,14 +97,20 @@ class Captioner:
             return out[0] if train else out
 
         # models whose cache layout differs between train and eval decode
-        # (transformer's merged-lane pallas caches) take a train hint
-        _ist_train = 'train' in inspect.signature(
-            type(module).init_state).parameters
+        # (transformer's merged-lane pallas caches) take a train hint;
+        # between beam and greedy decode, a beam hint (engine passes
+        # beam=True from sample_beam's single-group route)
+        _ist_params = inspect.signature(type(module).init_state).parameters
+        _ist_train = 'train' in _ist_params
+        _ist_beam = 'beam' in _ist_params
 
-        def init_state(batch):
+        def init_state(batch, beam=False):
+            kw = {}
             if _ist_train:
-                return module.init_state(batch, train=train)
-            return module.init_state(batch)
+                kw['train'] = train
+            if _ist_beam:
+                kw['beam'] = beam
+            return module.init_state(batch, **kw)
 
         def step(it, feats, state, rng, logsoftmax=True, uniform_t=False,
                  beam_width=0):
@@ -156,13 +162,14 @@ class Captioner:
 
             def step_topk(it, feats, state, rng, k, temp, unk_bias,
                           unk_idx, beam_width=0):
+                # temp / unk_bias may be traced scalars (the engine's
+                # dynamic eval params); k / unk_idx / beam_width are static
                 hid, st = module.apply(
                     variables, it, feats, state, False, False, True,
                     beam_width, True, method=type(module).step)
                 tv, ti, rs, en = logit_topk(
                     hid, gen['kernel'].astype(cfg.dtype), gen['bias'],
-                    k=int(k), temp=float(temp), unk_idx=int(unk_idx),
-                    unk_bias=float(unk_bias))
+                    temp, unk_bias, k=int(k), unk_idx=int(unk_idx))
                 return tv, ti, rs, en, st
 
         return DecodeModel(
@@ -408,9 +415,16 @@ class Captioner:
             return None
         opt_s = {k: v for k, v in opt.items()
                  if k not in ('sample_method', 'temperature')}
-        key = ('sample_stats', self._freeze_opt(opt_s))
+        # greedy (the production eval default) keeps its method STATIC so
+        # the fused logit epilogue (engine fused_greedy) can engage — one
+        # extra cached program; temperature/top-k/top-p still ride as
+        # operands, and the dynamic family program serves everything else
+        greedy_static = sample_method == 'greedy'
+        key = ('sample_stats', self._freeze_opt(opt_s), greedy_static)
         if key not in self._jit_cache:
-            opt_c = dict(opt_s, sample_method='sample')
+            opt_c = dict(opt_s,
+                         sample_method='greedy' if greedy_static
+                         else 'sample')
 
             def fn(variables, fc, att, am, rng, dyn):
                 dm = self.bind(variables, False)

@@ -45,8 +45,8 @@ class EnsembleCaptioner:
             return {'m%d' % i: dm.prepare(fc, att, att_masks, rng)
                     for i, dm in enumerate(dms)}
 
-        def init_state(batch):
-            return {'m%d' % i: dm.init_state(batch)
+        def init_state(batch, beam=False):
+            return {'m%d' % i: dm.init_state(batch, beam=beam)
                     for i, dm in enumerate(dms)}
 
         def step(it, feats, state, rng, logsoftmax=True, uniform_t=False,

@@ -491,7 +491,8 @@ class TransformerCaptioner(nn.Module):
         # never materialized — the "cache" is the memory itself.
         return {'memory': memory, 'att_masks': att_masks}
 
-    def init_state(self, batch_size: int, train: bool = False):
+    def init_state(self, batch_size: int, train: bool = False,
+                   beam: bool = False):
         # PER-LAYER caches (k0..k{L-1}/v0..v{L-1}), not one stacked
         # [B, L, h, T, dk] tensor: stacking was measured on the v5e
         # to cost ~9 ms/step at the beam-5 B=1024 headline shape (2916 ->
@@ -507,12 +508,21 @@ class TransformerCaptioner(nn.Module):
         # fused write+attend kernel (ops/beam_attend.py); train decode and
         # use_pallas=0 keep [B, h, T, dk] — step() detects the layout from
         # the cache rank, so the rng-exact RL recompute path is untouched.
+        # Merged engages for single-group BEAM decode (beam=True, any
+        # batch) and for SMALL-batch greedy/sample rows, where the
+        # pseudo-beam kernel blocks win the latency-bound step (B=64:
+        # 2168 -> 2727 cap/s); large-batch greedy keeps [B, h, T, dk] —
+        # the full-lane MXU attends there beat the kernel (B=1024: 12766
+        # vs 11309 cap/s, v5e).  Diverse groups (staggered t) also land
+        # here with beam=False: the kernel cannot serve them and the
+        # merged jnp twin measured 14.24 vs 9.32 ms/step (BENCH.md r4
+        # layout sweep).
         cfg = self.cfg
         T = cfg.seq_length + 1  # bos + seq_length steps
         h = cfg.num_att_heads
         dk = cfg.d_model // h
         state = {'t': jnp.zeros((batch_size,), jnp.int32)}
-        if cfg.use_pallas and not train:
+        if cfg.use_pallas and not train and (beam or batch_size <= 256):
             Tp = -(-T // 8) * 8
             for i in range(cfg.N_dec):
                 state['k%d' % i] = jnp.zeros(

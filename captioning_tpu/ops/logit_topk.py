@@ -50,18 +50,24 @@ _NEG = -1e9          # pad / masked-candidate value (finite: 0*_NEG != NaN)
 _TV = 512            # vocab tile lanes (4 MXU tiles per dot)
 
 
-def _logit_topk_kernel(x_ref, w_hbm, b_ref, of_ref, oi_ref, wsl, wsem, *,
-                       k: int, V1: int, Vp: int, temp: float,
-                       unk_idx: int, unk_bias: float, R: int, D: int):
+def _logit_topk_kernel(scal_ref, x_ref, w_hbm, b_ref, of_ref, oi_ref, wsl,
+                       wsem, *, k: int, V1: int, Vp: int,
+                       unk_idx: int, R: int, D: int):
     """One grid cell: R rows against the whole vocab, W tiles streamed
     from HBM with double-buffered DMA (a VMEM-resident W block would be
     double-buffered by the pipeline into a ~20 MB allocation).
 
-    x_ref: [R, D] bf16 decoder outputs; w_hbm: [nt, D, TV] bf16 tile-major
-    weights; b_ref: [nt, 1, TV] bf16 (padded columns carry _NEG bias).
-    of_ref [R, 128] f32 packs top-k lsm' values (lanes 0..k-1), row_sum
-    (lane k) and ent (lane k+1); oi_ref [R, 128] i32 the top-k indices.
+    scal_ref: SMEM [2] f32 — (temperature, unk_bias) ride as TRACED
+    scalars so one compiled program serves eval sweeps over temperature /
+    UNK suppression (the engine traces them; a static bake would fork the
+    whole beam program per setting).  x_ref: [R, D] bf16 decoder outputs;
+    w_hbm: [nt, D, TV] bf16 tile-major weights; b_ref: [nt, 1, TV] bf16
+    (padded columns carry _NEG bias).  of_ref [R, 128] f32 packs top-k
+    lsm' values (lanes 0..k-1), row_sum (lane k) and ent (lane k+1);
+    oi_ref [R, 128] i32 the top-k indices.
     """
+    temp = scal_ref[0]
+    unk_bias = scal_ref[1]
     x = x_ref[:]
     nt = Vp // _TV
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, _TV), 1)
@@ -87,15 +93,14 @@ def _logit_topk_kernel(x_ref, w_hbm, b_ref, of_ref, oi_ref, wsl, wsem, *,
             preferred_element_type=jnp.float32)
         # production: bf16 matmul output + bf16 bias, cast f32, / temp
         t = (t32.astype(b_ref.dtype) + b_ref[j]).astype(jnp.float32)
-        if temp != 1.0:
-            t = t / temp
+        t = t / temp
         gid = lane + c0
         valid = gid < V1
         t = jnp.where(valid, t, _NEG)        # padded cols (last tile)
-        if unk_bias != 0.0:
-            tp = jnp.where(gid == unk_idx, t + unk_bias, t)
-        else:
-            tp = t
+        # traced unk_bias: 0.0 is an exact no-op (t + 0.0), unk_idx == -1
+        # never matches; the where costs one vop on one tile's worth of
+        # lanes per pass
+        tp = jnp.where(gid == unk_idx, t + unk_bias, t)
 
         # flash rescale to the new running max of the RAW logits
         mt = t.max(axis=-1, keepdims=True)
@@ -166,19 +171,20 @@ def _logit_topk_kernel(x_ref, w_hbm, b_ref, of_ref, oi_ref, wsl, wsem, *,
     oi_ref[:] = idxs
 
 
-@functools.partial(jax.jit, static_argnames=('k', 'temp', 'unk_idx',
-                                             'unk_bias', 'block'))
-def logit_topk(x, w, b, *, k: int, temp: float = 1.0,
-               unk_idx: int = -1, unk_bias: float = 0.0,
-               block: int = 512):
+@functools.partial(jax.jit, static_argnames=('k', 'unk_idx', 'block'))
+def logit_topk(x, w, b, temp=1.0, unk_bias=0.0, *, k: int,
+               unk_idx: int = -1, block: int = 512):
     """Fused generator + log-softmax + stats + per-row top-k.
 
     x: [N, D] (cast to w.dtype); w: [D, V1]; b: [V1] — the generator
-    Dense params.  Returns (top_lsm [N, k] f32, top_ix [N, k] i32,
-    row_sum [N] f32, ent [N] f32) where top_lsm are ADJUSTED
-    log-softmax values (unk_bias added at unk_idx AFTER the softmax,
-    production `_unk_adjust` semantics) of the k best vocab entries,
-    ordered desc with lax.top_k tie-breaking.
+    Dense params.  ``temp`` / ``unk_bias`` are TRACED scalars (python
+    floats or jnp f32): eval sweeps over temperature / UNK suppression
+    reuse one compiled program, matching the engine's compile-key
+    hygiene (`api._dynamic_beam_params`).  Returns (top_lsm [N, k] f32,
+    top_ix [N, k] i32, row_sum [N] f32, ent [N] f32) where top_lsm are
+    ADJUSTED log-softmax values (unk_bias added at unk_idx AFTER the
+    softmax, production `_unk_adjust` semantics) of the k best vocab
+    entries, ordered desc with lax.top_k tie-breaking.
     """
     N, D = x.shape
     V1 = w.shape[1]
@@ -196,13 +202,15 @@ def logit_topk(x, w, b, *, k: int, temp: float = 1.0,
     bp = jnp.pad(b.astype(w.dtype).reshape(1, V1),
                  ((0, 0), (0, Vp - V1)),
                  constant_values=_NEG).reshape(nt, 1, _TV)
+    scal = jnp.stack([jnp.float32(temp), jnp.float32(unk_bias)])
     kern = functools.partial(
-        _logit_topk_kernel, k=k, V1=V1, Vp=Vp, temp=float(temp),
-        unk_idx=int(unk_idx), unk_bias=float(unk_bias), R=R, D=D)
+        _logit_topk_kernel, k=k, V1=V1, Vp=Vp,
+        unk_idx=int(unk_idx), R=R, D=D)
     of, oi = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((R, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -221,22 +229,21 @@ def logit_topk(x, w, b, *, k: int, temp: float = 1.0,
         ],
         out_shape=[jax.ShapeDtypeStruct((N, 128), jnp.float32),
                    jax.ShapeDtypeStruct((N, 128), jnp.int32)],
-    )(x.astype(w.dtype), wp, bp)
+    )(scal, x.astype(w.dtype), wp, bp)
     return of[:, :k], oi[:, :k], of[:, k], of[:, k + 1]
 
 
-def logit_topk_ref(x, w, b, *, k: int, temp: float = 1.0,
-                   unk_idx: int = -1, unk_bias: float = 0.0):
+def logit_topk_ref(x, w, b, temp=1.0, unk_bias=0.0, *, k: int,
+                   unk_idx: int = -1):
     """jnp twin (production math, materialized table): parity oracle and
     CPU fallback.  Mirrors the step's generator + the fast beam path's
-    `_finish_table` reductions."""
+    `_finish_table` reductions.  temp/unk_bias traced like logit_topk."""
     logits = (jnp.dot(x.astype(w.dtype), w,
                       preferred_element_type=w.dtype) + b.astype(w.dtype)
               ).astype(jnp.float32)
-    lsm = jax.nn.log_softmax(logits / temp, axis=-1)
-    if unk_bias != 0.0:
-        col = jnp.arange(w.shape[1]) == unk_idx
-        lsm = lsm + jnp.where(col, unk_bias, 0.0)
+    lsm = jax.nn.log_softmax(logits / jnp.float32(temp), axis=-1)
+    col = jnp.arange(w.shape[1]) == unk_idx
+    lsm = lsm + jnp.where(col, jnp.float32(unk_bias), 0.0)
     row_sum = lsm.sum(-1)
     ent = -(jnp.exp(lsm) * lsm).sum(-1)
     tv, ti = jax.lax.top_k(lsm, k)

@@ -15,10 +15,10 @@ b = jnp.asarray(rng.randn(V1) * 0.1, jnp.float32)
 
 for unk_idx, unk_bias, temp in ((-1, 0.0, 1.0), (9487, -1000.0, 1.0),
                                 (9487, -1000.0, 0.7)):
-    tv, ti, rs, en = logit_topk(x, w, b, k=k, temp=temp, unk_idx=unk_idx,
-                                unk_bias=unk_bias)
-    tv2, ti2, rs2, en2 = logit_topk_ref(x, w, b, k=k, temp=temp,
-                                        unk_idx=unk_idx, unk_bias=unk_bias)
+    tv, ti, rs, en = logit_topk(x, w, b, temp, unk_bias, k=k,
+                                unk_idx=unk_idx)
+    tv2, ti2, rs2, en2 = logit_topk_ref(x, w, b, temp, unk_bias, k=k,
+                                        unk_idx=unk_idx)
     tv, ti, rs, en, tv2, ti2, rs2, en2 = map(
         np.asarray, (tv, ti, rs, en, tv2, ti2, rs2, en2))
     ix_match = (ti == ti2).mean()
@@ -42,7 +42,7 @@ def time_fn(f, iters=30):
     np.asarray(r[0])
     return (time.time() - t) / iters * 1000
 
-p_ms = time_fn(lambda: logit_topk(x, w, b, k=k))
+p_ms = time_fn(lambda: logit_topk(x, w, b, 1.0, 0.0, k=k))
 j_ms = time_fn(lambda: logit_topk_ref(x, w, b, k=k))
 
 
